@@ -55,7 +55,8 @@ def pair_counter(i, j) -> jax.Array:
 
 def uniform_from_bits(bits: jax.Array, dtype=jnp.float32) -> jax.Array:
     """uint32 bits -> uniform in [0, 1)."""
-    return (bits >> 8).astype(dtype) * dtype(1.0 / (1 << 24))
+    scale = jnp.asarray(1.0 / (1 << 24), dtype)
+    return (bits >> 8).astype(dtype) * scale
 
 
 def pair_uniform(i, j, counter, dtype=jnp.float32) -> jax.Array:
@@ -69,4 +70,5 @@ def pair_normal(i, j, counter, dtype=jnp.float32) -> jax.Array:
     u1 = uniform_from_bits(hash_u32(c, counter, _U32(0xDEADBEEF)), dtype)
     u2 = uniform_from_bits(hash_u32(c, counter, _U32(0xCAFEF00D)), dtype)
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
-    return (r * jnp.cos(dtype(2.0 * jnp.pi) * u2)).astype(dtype)
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype)
+    return (r * jnp.cos(two_pi * u2)).astype(dtype)

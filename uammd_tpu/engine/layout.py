@@ -1,0 +1,326 @@
+"""Grid-resident particle layout for the TPU pair-force engine.
+
+This is the performance-path analog of the reference's sorted ParticleData +
+CellList (reference: src/utils/ParticleSorter.cuh:129, src/Interactor/
+NeighbourList/CellList/CellListBase.cuh:30-230). The reference keeps particles
+spatially hash-sorted for locality and maintains id<->index maps
+(ParticleData.cuh:298, :492); here we go one step further and keep the
+particle state *resident in a dense cell grid*, because on TPU the win is not
+cache locality but the total elimination of gathers/scatters from the hot
+loop: pair forces become lane-rolls of VMEM blocks (see pair_kernel.py).
+
+Layout
+------
+Every per-particle quantity is stored as ``[nz, nyb, CAP, NLANE]`` float32:
+
+- cells: the box is split into (nx, ny, nz) cells with edge >= cutoff*skin.
+- fold: F consecutive y-rows are folded into the lane dimension so
+  NLANE = nx*F approaches 128 (the TPU lane width). Lane l encodes
+  (cx = l // F, f = l % F); the actual row is y = yb*F + f, where yb is the
+  second array axis (nyb = ny / F blocks).
+- CAP: fixed per-cell capacity (multiple of 8 = f32 sublane tile).
+- empty slots hold position EMPTY_POS (1e9) so every pair involving them
+  fails the cutoff test with zero special-casing; their pid is -1.
+
+Rebinning (triggered by the reference VerletList's half-skin drift criterion,
+reference: VerletListBase.cuh:56-70) runs fully under jit with **two variadic
+``lax.sort`` calls and no gathers/scatters** (both are pathologically slow on
+this platform): the real slots plus one synthetic "filler" entry per slot are
+sorted by cell, ranked, and re-sorted by destination slot — the fillers
+guarantee every destination slot is produced exactly once, so the result is a
+plain reshape. Cell overflow sets a flag (reference error-flag idiom,
+CellListBase.cuh:82-85) for the host to regrow CAP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EMPTY_POS = 1.0e9
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static geometry of the grid-resident layout."""
+
+    box_size: tuple  # (Lx, Ly, Lz) floats
+    shape: tuple  # (nx, ny, nz) cells
+    cap: int
+    fold: int
+    cutoff: float
+    skin: float  # rl = cutoff*skin; cells are >= rl on each axis
+
+    @property
+    def nyb(self) -> int:
+        return self.shape[1] // self.fold
+
+    @property
+    def nlane(self) -> int:
+        return self.shape[0] * self.fold
+
+    @property
+    def n_cells(self) -> int:
+        nx, ny, nz = self.shape
+        return nx * ny * nz
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_cells * self.cap
+
+    @property
+    def cell_size(self) -> tuple:
+        return tuple(L / n for L, n in zip(self.box_size, self.shape))
+
+    @property
+    def array_shape(self) -> tuple:
+        return (self.shape[2], self.nyb, self.cap, self.nlane)
+
+    @property
+    def drift_threshold(self) -> float:
+        return 0.5 * (self.skin - 1.0) * self.cutoff
+
+
+def choose_spec(
+    box_size,
+    n: int,
+    cutoff: float,
+    skin: float = 1.2,
+    max_lanes: int = 128,
+    cap: int | None = None,
+    pos=None,
+) -> GridSpec:
+    """Pick (nx, ny, nz), fold F and CAP for a target box/density.
+
+    Cells must be >= cutoff*skin on each axis (27-stencil correctness); the
+    fold maximizes lane usage (F*nx <= max_lanes, ny % F == 0); CAP covers
+    mean occupancy + ~4 sigma Poisson margin (liquid fluctuations are
+    sub-Poissonian, so this is conservative).
+    """
+    Ls = [float(s) for s in np.broadcast_to(np.asarray(box_size, float), (3,))]
+    rl = cutoff * skin
+    nx = max(3, int(Ls[0] / rl))
+    nz = max(3, int(Ls[2] / rl))
+    ny = max(3, int(Ls[1] / rl))
+    F = max(1, min(max_lanes // nx, ny // 3))
+    while F > 1 and ny % F != 0:
+        F -= 1
+    if cap is None:
+        lam = (
+            n / (Ls[0] * Ls[1] * Ls[2])
+            * (Ls[0] / nx) * (Ls[1] / ny) * (Ls[2] / nz)
+        )
+        cap = int(math.ceil((lam + 4.0 * math.sqrt(lam) + 2.0) / 8.0)) * 8
+        if pos is not None:
+            # actual max occupancy of the starting configuration (e.g. a
+            # lattice incommensurate with the grid can exceed the liquid
+            # fluctuation estimate)
+            p = np.asarray(pos)
+            idx = [
+                np.clip(
+                    ((p[:, d] / Ls[d] + 0.5) % 1.0 * nd).astype(np.int64),
+                    0, nd - 1,
+                )
+                for d, nd in enumerate((nx, ny, nz))
+            ]
+            flat = (idx[2] * ny + idx[1]) * nx + idx[0]
+            occ = int(np.bincount(flat, minlength=nx * ny * nz).max())
+            cap = max(cap, (occ + 2 + 7) // 8 * 8)
+    return GridSpec(
+        box_size=tuple(Ls), shape=(nx, ny, nz), cap=cap, fold=F,
+        cutoff=float(cutoff), skin=float(skin),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GridState:
+    """Grid-resident MD state. All arrays [nz, nyb, CAP, NLANE]."""
+
+    spec: GridSpec = dataclasses.field(metadata={"static": True})
+    n: int = dataclasses.field(metadata={"static": True})
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    fx: jax.Array
+    fy: jax.Array
+    fz: jax.Array
+    pid: jax.Array  # int32, -1 = empty
+    ref_x: jax.Array  # positions at last rebin (drift check)
+    ref_y: jax.Array
+    ref_z: jax.Array
+    key: jax.Array
+    overflow: jax.Array  # bool, latching
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.pid >= 0
+
+    def replace(self, **kw) -> "GridState":
+        return dataclasses.replace(self, **kw)
+
+
+def _cell_key(spec: GridSpec, x, y, z, valid):
+    """Memory-order cell key of positions: ((cz*nyb + yb)*NLANE + lane).
+
+    Matches the flat order of [nz, nyb, NLANE] so slot-sorted data reshapes
+    straight into the grid. Invalid entries get key = n_cells (sorts last).
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+
+    def cell_of(p, L, ncell):
+        frac = p / L + 0.5
+        frac = frac - jnp.floor(frac)
+        return jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+
+    cx = cell_of(x, x.dtype.type(spec.box_size[0]), nx)
+    cy = cell_of(y, y.dtype.type(spec.box_size[1]), ny)
+    cz = cell_of(z, z.dtype.type(spec.box_size[2]), nz)
+    yb = cy // F
+    f = cy - yb * F
+    lane = cx * F + f
+    key = (cz * spec.nyb + yb) * spec.nlane + lane
+    return jnp.where(valid, key, spec.n_cells)
+
+
+def _bin_columns(spec: GridSpec, key, cols, n: int):
+    """Core two-sort binning: place entries with cell ``key`` into the padded
+    grid. ``cols`` = tuple of payload columns (float32/int32, 1-D, same length
+    as key). Returns (binned_cols, overflow) with each binned col shaped
+    [nz, nyb, CAP, NLANE]."""
+    nz_, nyb, cap, nlane = spec.array_shape
+    T = spec.n_slots
+    ncell = nz_ * nyb * nlane  # memory cells
+    m = key.shape[0]
+
+    # append one filler per slot (key2 = cell*2+1 sorts after reals of cell*2)
+    filler_cell = jnp.repeat(jnp.arange(ncell, dtype=jnp.int32), cap)
+    key2 = jnp.concatenate([key * 2, filler_cell * 2 + 1])
+
+    def pad_col(c):
+        fill = jnp.full(
+            (T,),
+            -1 if jnp.issubdtype(c.dtype, jnp.integer) else EMPTY_POS,
+            c.dtype,
+        )
+        return jnp.concatenate([c, fill])
+
+    stream = (key2,) + tuple(pad_col(c) for c in cols)
+    s = jax.lax.sort(stream, dimension=0, num_keys=1)
+    skey2 = s[0]
+    cell = skey2 >> 1
+    idx = jnp.arange(m + T, dtype=jnp.int32)
+    first = jnp.searchsorted(cell, cell, side="left").astype(jnp.int32)
+    rank = idx - first
+    kept = (cell < ncell) & (rank < cap)
+    is_real = (skey2 & 1) == 0
+    overflow = jnp.any(is_real & (cell < ncell) & (rank >= cap))
+    slot = jnp.where(kept, cell * cap + rank, T + idx)
+    s2 = jax.lax.sort((slot,) + s[1:], dimension=0, num_keys=1)
+
+    def to_grid(c):
+        g = c[:T].reshape(nz_, nyb, nlane, cap)
+        return jnp.swapaxes(g, 2, 3)  # -> [nz, nyb, CAP, NLANE]
+
+    return tuple(to_grid(c) for c in s2[1:]), overflow
+
+
+def pack(
+    spec: GridSpec,
+    pos,  # [N, 3]
+    vel=None,
+    force=None,
+    key=None,
+    pid=None,
+) -> GridState:
+    """Build a GridState from canonical [N]-order arrays."""
+    pos = jnp.asarray(pos, jnp.float32)
+    n = pos.shape[0]
+    Ls = spec.box_size
+    x = pos[:, 0] - Ls[0] * jnp.round(pos[:, 0] / Ls[0])
+    y = pos[:, 1] - Ls[1] * jnp.round(pos[:, 1] / Ls[1])
+    z = pos[:, 2] - Ls[2] * jnp.round(pos[:, 2] / Ls[2])
+    vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
+    force = jnp.zeros((n, 3), jnp.float32) if force is None else jnp.asarray(force, jnp.float32)
+    pid = jnp.arange(n, dtype=jnp.int32) if pid is None else jnp.asarray(pid, jnp.int32)
+    ck = _cell_key(spec, x, y, z, jnp.ones((n,), bool))
+    cols = (x, y, z, vel[:, 0], vel[:, 1], vel[:, 2],
+            force[:, 0], force[:, 1], force[:, 2], pid)
+    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), ovf = _bin_columns(
+        spec, ck, cols, n
+    )
+    if key is None:
+        key = jax.random.key(0)
+    return GridState(
+        spec=spec, n=n,
+        x=gx, y=gy, z=gz, vx=gvx, vy=gvy, vz=gvz, fx=gfx, fy=gfy, fz=gfz,
+        pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
+        key=key, overflow=ovf,
+    )
+
+
+def rebin(gs: GridState) -> GridState:
+    """Re-sort all slots into their current cells (jit-safe, no gathers)."""
+    spec = gs.spec
+    Ls = spec.box_size
+    valid = gs.pid >= 0
+    # wrap into primary box; empties stay at EMPTY_POS
+    x = jnp.where(valid, gs.x - Ls[0] * jnp.round(gs.x / Ls[0]), EMPTY_POS)
+    y = jnp.where(valid, gs.y - Ls[1] * jnp.round(gs.y / Ls[1]), EMPTY_POS)
+    z = jnp.where(valid, gs.z - Ls[2] * jnp.round(gs.z / Ls[2]), EMPTY_POS)
+    ck = _cell_key(spec, x, y, z, valid)
+
+    def flat(a):
+        return a.reshape(-1)
+
+    cols = (flat(x), flat(y), flat(z),
+            flat(gs.vx), flat(gs.vy), flat(gs.vz),
+            flat(gs.fx), flat(gs.fy), flat(gs.fz), flat(gs.pid))
+    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), ovf = _bin_columns(
+        spec, flat(ck), cols, gs.n
+    )
+    return gs.replace(
+        x=gx, y=gy, z=gz, vx=gvx, vy=gvy, vz=gvz, fx=gfx, fy=gfy, fz=gfz,
+        pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
+        overflow=gs.overflow | ovf,
+    )
+
+
+def needs_rebin(gs: GridState) -> jax.Array:
+    """Half-skin drift criterion (reference: VerletListBase.cuh:56-70)."""
+    thr2 = jnp.float32(gs.spec.drift_threshold ** 2)
+    m = gs.mask
+    d2 = jnp.where(
+        m,
+        (gs.x - gs.ref_x) ** 2 + (gs.y - gs.ref_y) ** 2 + (gs.z - gs.ref_z) ** 2,
+        0.0,
+    )
+    return jnp.max(d2) > thr2
+
+
+def maybe_rebin(gs: GridState) -> GridState:
+    return jax.lax.cond(needs_rebin(gs), rebin, lambda g: g, gs)
+
+
+def unpack(gs: GridState):
+    """Back to canonical [N]-order (pos, vel, force) — off the hot path."""
+    valid = gs.pid >= 0
+    pid = jnp.where(valid, gs.pid, gs.n)  # empties last
+    cols = tuple(
+        a.reshape(-1)
+        for a in (gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz, gs.fx, gs.fy, gs.fz)
+    )
+    s = jax.lax.sort((pid.reshape(-1),) + cols, dimension=0, num_keys=1)
+    n = gs.n
+    pos = jnp.stack([s[1][:n], s[2][:n], s[3][:n]], axis=-1)
+    vel = jnp.stack([s[4][:n], s[5][:n], s[6][:n]], axis=-1)
+    force = jnp.stack([s[7][:n], s[8][:n], s[9][:n]], axis=-1)
+    return pos, vel, force

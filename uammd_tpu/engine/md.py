@@ -1,0 +1,182 @@
+"""High-throughput MD on the grid-resident layout.
+
+Couples the Pallas pair-force kernel (pair_kernel.py) to grid-resident
+integrators. This is the performance path for the reference's benchmark
+workload (reference: examples/misc/benchmark.cu — 1M-particle LJ liquid under
+VerletNVT Gronbech-Jensen): the whole trajectory compiles to one XLA program
+(``lax.scan``), with the conditional rebin (layout.maybe_rebin) playing the
+role of the reference's VerletList drift-triggered update.
+
+Schemes implemented here mirror integrators/verlet.py but operate on the
+[nz, nyb, CAP, NLANE] SoA directly — elementwise updates, no data movement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layout import GridState, GridSpec, choose_spec, maybe_rebin, pack, unpack
+from .pair_kernel import make_pair_force_kernel
+
+
+def lj_g(epsilon=1.0, sigma=1.0):
+    """(dE/dr)/r for 12-6 LJ (see potentials/radial.py for the convention)."""
+    eps = np.float32(epsilon)
+    s2 = np.float32(sigma * sigma)
+
+    def g(r2):
+        inv2 = s2 / r2
+        inv6 = inv2 * inv2 * inv2
+        return (np.float32(-24.0) * eps / r2) * (2.0 * inv6 * inv6 - inv6)
+
+    return g
+
+
+def lj_e(epsilon=1.0, sigma=1.0, shift_rc=None):
+    eps = np.float32(epsilon)
+    s2 = np.float32(sigma * sigma)
+    e_shift = np.float32(0.0)
+    if shift_rc is not None:
+        ic6 = float(sigma * sigma / (shift_rc * shift_rc)) ** 3
+        e_shift = np.float32(4.0 * epsilon * (ic6 * ic6 - ic6))
+
+    def e(r2):
+        inv6 = (s2 / r2) ** 3
+        return np.float32(4.0) * eps * (inv6 * inv6 - inv6) - e_shift
+
+    return e
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMD:
+    """Bound engine: spec + compiled force kernel + integrator params."""
+
+    spec: GridSpec
+    force_kernel: object
+    dt: float
+    temperature: float
+    friction: float
+    mass: float
+
+    def init(self, pos, seed=0) -> GridState:
+        gs = pack(self.spec, pos, key=jax.random.key(seed))
+        if self.temperature > 0:
+            k1, k2 = jax.random.split(gs.key)
+            sd = float(np.sqrt(self.temperature / self.mass))
+            shape = gs.x.shape
+            m = gs.mask
+            gs = gs.replace(
+                vx=sd * jax.random.normal(k1, shape) * m,
+                vy=sd * jax.random.normal(jax.random.fold_in(k1, 1), shape) * m,
+                vz=sd * jax.random.normal(jax.random.fold_in(k1, 2), shape) * m,
+                key=k2,
+            )
+        return self.compute_forces(gs)
+
+    def compute_forces(self, gs: GridState) -> GridState:
+        fx, fy, fz = self.force_kernel(gs.x, gs.y, gs.z)[:3]
+        m = gs.mask
+        return gs.replace(fx=fx * m, fy=fy * m, fz=fz * m)
+
+    def step(self, gs: GridState) -> GridState:
+        """One Gronbech-Jensen Langevin step (reference:
+        src/Integrator/VerletNVT/GronbechJensen.cu:20-62)."""
+        dt = np.float32(self.dt)
+        m = np.float32(self.mass)
+        gs = maybe_rebin(gs)
+        mask = gs.mask
+        key, sub = jax.random.split(gs.key)
+        if self.temperature > 0:
+            amp = np.float32(
+                np.sqrt(2.0 * self.temperature * self.friction * self.mass * self.dt)
+            )
+            shape = gs.x.shape
+            nx_ = amp * jax.random.normal(sub, shape)
+            ny_ = amp * jax.random.normal(jax.random.fold_in(sub, 1), shape)
+            nz_ = amp * jax.random.normal(jax.random.fold_in(sub, 2), shape)
+        else:
+            nx_ = ny_ = nz_ = jnp.zeros_like(gs.x)
+        gdt = np.float32(0.5 * self.friction * self.dt)
+        b = np.float32(1.0 / (1.0 + gdt))
+        a = np.float32((1.0 - gdt) * b)
+        c_x = np.float32(0.5) * b * dt / m
+
+        x = gs.x + mask * (b * dt * gs.vx + c_x * (dt * gs.fx + nx_))
+        y = gs.y + mask * (b * dt * gs.vy + c_x * (dt * gs.fy + ny_))
+        z = gs.z + mask * (b * dt * gs.vz + c_x * (dt * gs.fz + nz_))
+        hv = np.float32(0.5) * dt / m
+        vx = mask * (a * gs.vx + hv * a * gs.fx + (b / m) * nx_)
+        vy = mask * (a * gs.vy + hv * a * gs.fy + (b / m) * ny_)
+        vz = mask * (a * gs.vz + hv * a * gs.fz + (b / m) * nz_)
+        gs = gs.replace(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz, key=key)
+        gs = self.compute_forces(gs)
+        return gs.replace(
+            vx=gs.vx + hv * gs.fx, vy=gs.vy + hv * gs.fy, vz=gs.vz + hv * gs.fz
+        )
+
+    def step_nve(self, gs: GridState) -> GridState:
+        dt = np.float32(self.dt)
+        m = np.float32(self.mass)
+        gs = maybe_rebin(gs)
+        h = np.float32(0.5) * dt / m
+        vx = gs.vx + h * gs.fx
+        vy = gs.vy + h * gs.fy
+        vz = gs.vz + h * gs.fz
+        gs = gs.replace(
+            x=gs.x + gs.mask * dt * vx,
+            y=gs.y + gs.mask * dt * vy,
+            z=gs.z + gs.mask * dt * vz,
+            vx=vx, vy=vy, vz=vz,
+        )
+        gs = self.compute_forces(gs)
+        return gs.replace(
+            vx=gs.vx + h * gs.fx, vy=gs.vy + h * gs.fy, vz=gs.vz + h * gs.fz
+        )
+
+    def run(self, gs: GridState, n_steps: int, *, nve: bool = False) -> GridState:
+        step = self.step_nve if nve else self.step
+
+        @jax.jit
+        def go(gs):
+            def body(g, _):
+                return step(g), None
+            out, _ = jax.lax.scan(body, gs, None, length=n_steps)
+            return out
+
+        return go(gs)
+
+    def temperature_of(self, gs: GridState) -> jax.Array:
+        ke = 0.5 * self.mass * jnp.sum(gs.vx**2 + gs.vy**2 + gs.vz**2)
+        return 2.0 * ke / (3.0 * gs.n)
+
+
+def make_lj_md(
+    box_size,
+    n: int,
+    *,
+    epsilon: float = 1.0,
+    sigma: float = 1.0,
+    cutoff: float = 2.5,
+    skin: float = 1.2,
+    dt: float = 0.01,
+    temperature: float = 1.0,
+    friction: float = 1.0,
+    mass: float = 1.0,
+    cap: int | None = None,
+    interpret: bool | None = None,
+    pos=None,
+) -> GridMD:
+    """The reference benchmark system (examples/misc/benchmark.cu:172-181)."""
+    spec = choose_spec(box_size, n, cutoff, skin=skin, cap=cap, pos=pos)
+    kern = make_pair_force_kernel(
+        spec, lj_g(epsilon, sigma), interpret=interpret
+    )
+    return GridMD(
+        spec=spec, force_kernel=kern, dt=dt,
+        temperature=temperature, friction=friction, mass=mass,
+    )

