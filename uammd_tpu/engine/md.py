@@ -20,8 +20,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layout import GridState, GridSpec, choose_spec, maybe_rebin, pack, unpack
+from .layout import (
+    GridState,
+    GridSpec,
+    choose_spec,
+    needs_rebin,
+    pack,
+    unpack,
+)
 from .pair_kernel import make_pair_force_kernel
+from .rebin_kernel import rebin_fast
+
+
+def maybe_rebin(gs: GridState) -> GridState:
+    """Drift-triggered rebin via the Pallas kernel (layout.maybe_rebin uses
+    the slower sort path; kept for cross-validation)."""
+    return jax.lax.cond(needs_rebin(gs), rebin_fast, lambda g: g, gs)
 
 
 def lj_g(epsilon=1.0, sigma=1.0):
