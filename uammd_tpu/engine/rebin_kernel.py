@@ -79,10 +79,12 @@ def make_rebin_kernel(spec: GridSpec, n_q: int, *, interpret: bool | None = None
 
         # strict lower-triangular matrix for exclusive prefix sums over
         # source sublanes (rank[s] = sum_{s'<s} valid[s'])
-        r_i = jax.lax.broadcasted_iota(jnp.float32, (cap, cap), 0)
-        c_i = jax.lax.broadcasted_iota(jnp.float32, (cap, cap), 1)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
         tri = (c_i < r_i).astype(jnp.float32)  # [cap_dst_s, cap_src_s]
-        out_r = jax.lax.broadcasted_iota(jnp.float32, (cap, 1, 1), 0)
+        out_r = jax.lax.broadcasted_iota(jnp.int32, (cap, 1, 1), 0).astype(
+            jnp.float32
+        )
 
         # load + periodic-adjust the 9 neighbor blocks
         blocks = {}

@@ -1,0 +1,241 @@
+"""Monte Carlo integrators: force-biased MALA and Anderson checkerboard.
+
+TPU-native analogs of the reference MC modules:
+
+- ``force_biased``: Metropolis-adjusted Langevin (reference:
+  src/Integrator/MonteCarlo/ForceBiased.cuh:142) — one collective BD
+  proposal per step, accepted/rejected on the total energy change with the
+  exact MALA asymmetry correction, with step-size autotuning toward a target
+  acceptance (ForceBiased.cuh autotune idiom).
+
+- ``anderson_sweep``: massively parallel canonical MC (reference:
+  src/Integrator/MonteCarlo/NVT/Anderson.cuh:17-57) — the box is divided
+  into cells of edge >= cutoff, grouped into 8 checkerboard subgrids (3D) so
+  cells updated concurrently never interact; a random global origin shift
+  and random subgrid order restore detailed balance; each cell performs
+  ``tries_per_cell`` sequential single-particle trial moves, rejecting moves
+  that leave the cell. Implemented over the dense cell grid: all cells of a
+  subgrid sweep in lockstep (vmap across cells = the reference's
+  one-block-per-cell kernel), trials loop via lax.fori.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.box import Box
+from ..core.state import SimState, next_key
+from ..core.types import Computables
+from .base import Integrator, advance_time
+
+
+def force_biased(
+    energy_force_fn,
+    dt: float,
+    temperature: float,
+    viscosity: float = 1.0,
+    *,
+    target_acceptance: float = 0.5,
+    autotune_rate: float = 0.02,
+) -> Integrator:
+    """MALA with autotuned step size.
+
+    ``energy_force_fn(state, aux) -> (total_energy, force, aux)``.
+    aux carries (log_dt_scale, user_aux); the proposal variance adapts
+    multiplicatively toward the target acceptance, mirroring the reference's
+    jump-size autotuning (ForceBiased.cuh / Anderson.cuh:52-57).
+    """
+    import math
+
+    m0 = 1.0 / (6.0 * math.pi * viscosity)
+    beta = 1.0 / temperature
+
+    def init(state, aux):
+        e, f, aux = energy_force_fn(state, aux)
+        return state.replace(force=f), (jnp.zeros(()), aux)
+
+    def step(state, carry):
+        log_scale, aux = carry
+        eff_dt = dt * jnp.exp(log_scale)
+        D = temperature * m0
+        e0, f0, aux = energy_force_fn(state, aux)
+        state, k1 = next_key(state)
+        state, k2 = next_key(state)
+        noise = jnp.sqrt(2.0 * D * eff_dt) * jax.random.normal(
+            k1, state.pos.shape, state.dtype
+        )
+        drift0 = m0 * eff_dt * f0
+        prop = state.pos + drift0 + noise
+        st_prop = state.replace(pos=prop)
+        e1, f1, aux = energy_force_fn(st_prop, aux)
+        # MALA asymmetry: log q(x|x') - log q(x'|x)
+        drift1 = m0 * eff_dt * f1
+        fwd = prop - state.pos - drift0
+        bwd = state.pos - prop - drift1
+        logq = (jnp.sum(fwd * fwd) - jnp.sum(bwd * bwd)) / (4.0 * D * eff_dt)
+        log_alpha = -beta * (e1 - e0) + logq
+        u = jax.random.uniform(k2, ())
+        accept = jnp.log(u) < log_alpha
+        new_pos = jnp.where(accept, prop, state.pos)
+        new_force = jnp.where(accept, f1, f0)
+        log_scale = log_scale + autotune_rate * (
+            jnp.where(accept, 1.0, 0.0) - target_acceptance
+        )
+        state = state.replace(pos=new_pos, force=new_force)
+        return advance_time(state, dt), (log_scale, aux)
+
+    return Integrator(init=init, step=step)
+
+
+# --------------------------------------------------------------- Anderson
+@dataclasses.dataclass(frozen=True)
+class AndersonMC:
+    """Checkerboard canonical MC over a cell grid (reference:
+    MonteCarlo/NVT/Anderson.cuh:47)."""
+
+    box: Box
+    potential: object  # radial potential (potentials.radial protocol)
+    temperature: float
+    grid_shape: tuple
+    cap: int
+    tries_per_cell: int = 4
+    jump_size: float = 0.3
+
+    @staticmethod
+    def create(box, potential, temperature, n, tries_per_cell=4, jump=None):
+        import math
+
+        import numpy as np
+
+        Ls = [float(s) for s in jax.device_get(box.size)]
+        rc = potential.max_cutoff
+        # checkerboard parity requires an EVEN number of cells per axis
+        # (odd counts make same-parity cells adjacent through the periodic
+        # boundary, breaking the independence the subgrid sweep relies on)
+        shape = tuple(max(2, int(L / rc) // 2 * 2) for L in Ls)
+        for L, s in zip(Ls, shape):
+            assert L / s >= rc, "box too small for the Anderson cell grid"
+        vol = Ls[0] * Ls[1] * Ls[2]
+        lam = n / vol * (Ls[0] / shape[0]) * (Ls[1] / shape[1]) * (
+            Ls[2] / shape[2]
+        )
+        cap = int(math.ceil((lam + 4 * math.sqrt(lam) + 2) / 4)) * 4
+        return AndersonMC(
+            box=box, potential=potential, temperature=temperature,
+            grid_shape=shape, cap=cap, tries_per_cell=tries_per_cell,
+            jump_size=jump if jump is not None else 0.3 * rc,
+        )
+
+    def sweep(self, state: SimState, n_sweeps: int = 1) -> SimState:
+        """Run n_sweeps full checkerboard sweeps (all 8 subgrids, random
+        origin and order each sweep)."""
+        from ..core.grid import Grid
+        from ..neighbors.cell_list import build_cell_list, neighbor_cell_indices
+
+        box = self.box
+        pot = self.potential
+        beta = 1.0 / self.temperature
+        nx, ny, nz = self.grid_shape
+        cap = self.cap
+        grid = Grid(box=box, shape=self.grid_shape)
+
+        def one_sweep(carry, _):
+            pos, key = carry
+            key, k_orig, k_order = jax.random.split(key, 3)
+            # random origin shift (Anderson.cuh:17-25): move the LATTICE by
+            # shifting all particles, bin, sweep, shift back
+            shift = jax.random.uniform(k_orig, (3,), pos.dtype) * box.size
+            spos = box.wrap_position(pos + shift)
+            cl = build_cell_list(spos, grid, cap)
+            n = pos.shape[0]
+            pos_pad = jnp.concatenate([spos, jnp.full((1, 3), 1e9, pos.dtype)])
+            # cell-grid coordinates of each cell's stencil
+            cells = grid.cell_coords(jnp.arange(grid.n_cells))
+            stencil = neighbor_cell_indices(grid, cells)  # [ncell, 27]
+            # with only 2 cells on an axis, offsets -1 and +1 alias the same
+            # cell: mask duplicate stencil entries (keep first occurrence) so
+            # pair energies are not double counted
+            eq = stencil[:, :, None] == stencil[:, None, :]  # [ncell,27,27]
+            first_dup = jnp.tril(jnp.ones((27, 27), bool), k=-1)
+            stencil_dup = jnp.any(eq & first_dup, axis=-1)  # [ncell, 27]
+            parity = (cells[:, 0] % 2) + 2 * (cells[:, 1] % 2) + 4 * (
+                cells[:, 2] % 2
+            )
+            order = jax.random.permutation(k_order, 8)
+
+            def do_subgrid(carry, oi):
+                pos_pad, key = carry
+                sub = order[oi]
+                active = parity == sub  # [ncell]
+
+                def do_try(carry, ti):
+                    pos_pad, key = carry
+                    key, k1, k2, k3 = jax.random.split(key, 4)
+                    # one random occupant per cell
+                    occ_idx = jax.random.randint(
+                        k1, (grid.n_cells,), 0, cap
+                    )
+                    pidx = cl.cell_grid[jnp.arange(grid.n_cells), occ_idx]
+                    valid = (pidx < n) & active
+                    pi = jnp.minimum(pidx, n)
+                    old = pos_pad[pi]
+                    move = self.jump_size * jax.random.normal(
+                        k2, (grid.n_cells, 3), pos_pad.dtype
+                    )
+                    new = old + move
+                    # reject moves leaving the cell (Anderson.cuh rule)
+                    same_cell = jnp.all(
+                        grid.cell_of(new) == grid.cell_of(old), axis=-1
+                    )
+                    # energy change vs 27-neighborhood occupants
+                    nbr_particles = cl.cell_grid[stencil]  # [ncell, 27, cap]
+                    dup = jnp.broadcast_to(
+                        stencil_dup[:, :, None], nbr_particles.shape
+                    ).reshape(grid.n_cells, -1)
+                    nbr_flat = nbr_particles.reshape(grid.n_cells, -1)
+                    nbr_pos = pos_pad[jnp.minimum(nbr_flat, n)]
+                    nmask = (nbr_flat < n) & (nbr_flat != pi[:, None]) & ~dup
+
+                    def energy_at(x):
+                        dr = box.wrap(nbr_pos - x[:, None, :])
+                        r2 = jnp.sum(dr * dr, axis=-1)
+                        rc2 = pot.cutoff2(jnp.int32(0), jnp.int32(0))
+                        inside = nmask & (r2 < rc2) & (r2 > 1e-12)
+                        r2s = jnp.where(inside, r2, 1.0)
+                        e = jnp.where(
+                            inside, pot.energy(r2s, jnp.int32(0), jnp.int32(0)), 0.0
+                        )
+                        return jnp.sum(e, axis=-1)
+
+                    dE = energy_at(new) - energy_at(old)
+                    u = jax.random.uniform(k3, (grid.n_cells,))
+                    accept = (
+                        valid
+                        & same_cell
+                        & (jnp.log(u) < -beta * dE)
+                    )
+                    upd = jnp.where(accept[:, None], new, old)
+                    pos_pad = pos_pad.at[pi].set(
+                        jnp.where((pi < n)[:, None], upd, pos_pad[pi])
+                    )
+                    return (pos_pad, key), None
+
+                (pos_pad, key), _ = jax.lax.scan(
+                    do_try, (pos_pad, key), jnp.arange(self.tries_per_cell)
+                )
+                return (pos_pad, key), None
+
+            (pos_pad, key), _ = jax.lax.scan(
+                do_subgrid, (pos_pad, key), jnp.arange(8)
+            )
+            new_pos = box.wrap_position(pos_pad[:n] - shift)
+            return (new_pos, key), None
+
+        (pos, key), _ = jax.lax.scan(
+            one_sweep, (state.pos, state.key), None, length=n_sweeps
+        )
+        return state.replace(pos=pos, key=key)
