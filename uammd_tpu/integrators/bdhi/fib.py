@@ -1,0 +1,151 @@
+"""Fluctuating Immersed Boundary: steady-Stokes grid hydrodynamics.
+
+TPU-native analog of the reference FIB (reference: src/Integrator/BDHI/FIB/
+FIB.cuh:27-145): Brownian dynamics with hydrodynamic interactions computed by
+solving the *steady* fluctuating Stokes equation on a grid each step
+
+    0 = -grad pi + eta lap v + S F + div Sigma,   div v = 0
+
+(the reference uses a staggered grid + FFT; here the projection/solve is
+spectral, same operators) with a Peskin kernel whose hydrodynamic radius is
+tied to the grid: rh ~ 0.91 h for the 3-point kernel (FIB.cuh:33). Particle
+update schemes: "simple midpoint" and the default improved (predictor-
+corrector) midpoint (FIB.cuh:27-33), with the kernel's spurious thermal
+drift handled by random finite differences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.box import Box
+from ...core.state import next_key
+from ...solvers.ibm import Peskin3pt, Peskin4pt, interpolate, spread
+from ..base import Integrator, advance_time
+from .fcm import _wavevectors
+
+
+@dataclasses.dataclass(frozen=True)
+class FIB:
+    box: Box
+    shape: tuple
+    box_size: tuple
+    viscosity: float = 1.0
+    temperature: float = 0.0
+    dt: float = 0.01
+    kernel: object = Peskin3pt()
+
+    @staticmethod
+    def create(box, cells: int | tuple, viscosity=1.0, temperature=0.0,
+               dt=0.01, kernel=None):
+        Ls = [float(s) for s in jax.device_get(box.size)]
+        if isinstance(cells, int):
+            cells = (cells,) * 3
+        return FIB(
+            box=box, shape=tuple(cells), box_size=tuple(Ls),
+            viscosity=viscosity, temperature=temperature, dt=dt,
+            kernel=kernel or Peskin3pt(),
+        )
+
+    @property
+    def hydrodynamic_radius(self) -> float:
+        """rh ~ 0.91 h (3pt) / 1.255 h (4pt) (reference: FIB.cuh:33)."""
+        h = self.box_size[0] / self.shape[0]
+        return (0.91 if isinstance(self.kernel, Peskin3pt) else 1.255) * h
+
+    @property
+    def dV(self) -> float:
+        return float(np.prod(np.asarray(self.box_size)) / np.prod(self.shape))
+
+    def _solve_stokes(self, f_grid):
+        """Steady Stokes: v(k) = P(k) f(k) / (eta k^2)."""
+        fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
+        kx, ky, kz = _wavevectors(self.shape, self.box_size, f_grid.dtype)
+        k2 = kx * kx + ky * ky + kz * kz
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        kdotf = kx * fk[..., 0] + ky * fk[..., 1] + kz * fk[..., 2]
+        scale = 1.0 / (self.viscosity * k2s)
+        out = jnp.stack(
+            [
+                scale * (fk[..., 0] - kx * kdotf / k2s),
+                scale * (fk[..., 1] - ky * kdotf / k2s),
+                scale * (fk[..., 2] - kz * kdotf / k2s),
+            ],
+            -1,
+        )
+        uk = jnp.where((k2 == 0)[..., None], 0.0, out)
+        return jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
+
+    def grid_velocity(self, pos, forces, key=None):
+        """v = Stokes(S F + sqrt(2 eta kT/(dV dt)) div W)."""
+        f_grid = spread(self.kernel, pos, forces, self.shape, self.box)
+        if self.temperature > 0 and key is not None:
+            dtype = f_grid.dtype
+            amp = jnp.sqrt(
+                jnp.asarray(
+                    2.0 * self.viscosity * self.temperature
+                    / (self.dV * self.dt),
+                    dtype,
+                )
+            )
+            w = jax.random.normal(key, tuple(self.shape) + (3, 3), dtype)
+            sigma = amp * (w + jnp.swapaxes(w, -1, -2)) / jnp.sqrt(2.0)
+            sk = jnp.fft.rfftn(sigma, axes=(0, 1, 2))
+            kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
+            div = 1j * (
+                kx[..., None] * sk[..., 0, :]
+                + ky[..., None] * sk[..., 1, :]
+                + kz[..., None] * sk[..., 2, :]
+            )
+            f_grid = f_grid + jnp.fft.irfftn(div, s=self.shape, axes=(0, 1, 2))
+        return self._solve_stokes(f_grid)
+
+    def velocities(self, pos, forces, key=None):
+        return interpolate(
+            self.kernel, pos, self.grid_velocity(pos, forces, key), self.box
+        )
+
+
+def fib_integrator(force_fn, fib: FIB, *, rfd_delta: float = 1e-4) -> Integrator:
+    """Improved midpoint scheme (reference: FIB.cuh:27-33) with RFD drift."""
+
+    def init(state, aux):
+        if state.force is None:
+            state = state.replace(force=jnp.zeros_like(state.pos))
+        return state, aux
+
+    def step(state, aux):
+        dt = jnp.asarray(fib.dt, state.dtype)
+        fev, aux = force_fn(state, aux)
+        key = None
+        if fib.temperature > 0:
+            state, key = next_key(state)
+        # predictor: midpoint position with the full (forced + fluctuating)
+        # velocity field
+        v0 = fib.velocities(state.pos, fev.force, key)
+        x_mid = state.pos + 0.5 * dt * v0
+        # corrector: same realization of the fluctuating field, evaluated at
+        # the midpoint (improved midpoint: the grid field is re-solved with
+        # midpoint spreading)
+        fev2, aux = force_fn(state.replace(pos=x_mid), aux)
+        v_mid = fib.velocities(x_mid, fev2.force, key)
+        new_pos = state.pos + dt * v_mid
+        if fib.temperature > 0:
+            # RFD thermal drift: kT div_x M dt
+            state, k2 = next_key(state)
+            w = jax.random.normal(k2, state.pos.shape, state.dtype)
+            vp = fib.velocities(state.pos + rfd_delta * w, w)
+            vm = fib.velocities(state.pos - rfd_delta * w, w)
+            drift = (
+                fib.temperature * dt * (vp - vm) / (2.0 * rfd_delta)
+            )
+            new_pos = new_pos + drift
+        state = state.replace(pos=new_pos, force=fev2.force)
+        return advance_time(state, fib.dt), aux
+
+    return Integrator(init=init, step=step)

@@ -1,0 +1,223 @@
+"""Compressible fluctuating hydrodynamics with immersed particles.
+
+TPU-native analog of the reference ICM_Compressible (reference:
+src/Integrator/Hydro/ICM_Compressible.cuh:183 and ICM_Compressible/
+{FluidSolver,SpatialDiscretization,Fluctuations,spreadInterp}): isothermal
+compressible fluctuating Navier-Stokes
+
+    d rho / dt = -div g
+    d g / dt   = -div(g v) - grad p + eta lap v + (zeta + eta/3) grad div v
+                 + div Sigma + S F,        p = c^2 rho
+
+integrated with a 3-substep Runge-Kutta (the reference's RK3,
+FluidSolver.cuh), fluctuating stress with variance 2 eta kT/(dV dt) (+ bulk
+part), Peskin 3-point particle coupling and midpoint particle updates.
+
+Design deviation (documented): collocated grid with spectral derivatives
+instead of the reference's staggered MAC differences — same equations, and
+on TPU the FFT-based derivatives reuse the engine every other module uses.
+Walls/ghost cells (ICM_Compressible/GhostCells) are not yet ported: periodic
+only. The fluctuating stress is held fixed across the RK substeps (the
+reference redraws with Wiener weights; the difference is O(dt) in weak
+order for these observables).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.box import Box
+from ...core.state import next_key
+from ...solvers.ibm import Peskin3pt, interpolate, spread
+from ..base import Integrator, advance_time
+from .icm import FluidState
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CompressibleFluid:
+    rho: jax.Array  # [nx, ny, nz]
+    g: jax.Array  # [nx, ny, nz, 3] momentum density
+
+
+@dataclasses.dataclass(frozen=True)
+class ICMCompressible:
+    box: Box
+    shape: tuple
+    box_size: tuple
+    shear_viscosity: float = 1.0
+    bulk_viscosity: float = 1.0
+    speed_of_sound: float = 4.0
+    density: float = 1.0  # rho_0
+    temperature: float = 0.0
+    dt: float = 0.01
+    kernel: object = Peskin3pt()
+
+    @staticmethod
+    def create(box, cells, **kw):
+        Ls = [float(s) for s in jax.device_get(box.size)]
+        if isinstance(cells, int):
+            cells = (cells,) * 3
+        return ICMCompressible(box=box, shape=tuple(cells), box_size=tuple(Ls), **kw)
+
+    @property
+    def dV(self) -> float:
+        return float(np.prod(np.asarray(self.box_size)) / np.prod(self.shape))
+
+    def _k(self, dtype):
+        axes = [
+            2 * math.pi * jnp.fft.fftfreq(n, d=L / n).astype(dtype)
+            for n, L in zip(self.shape[:2], self.box_size[:2])
+        ]
+        kz = 2 * math.pi * jnp.fft.rfftfreq(
+            self.shape[2], d=self.box_size[2] / self.shape[2]
+        ).astype(dtype)
+        return jnp.meshgrid(axes[0], axes[1], kz, indexing="ij")
+
+    def _grad(self, s):
+        sk = jnp.fft.rfftn(s, axes=(0, 1, 2))
+        kx, ky, kz = self._k(s.dtype)
+        return jnp.stack(
+            [
+                jnp.fft.irfftn(1j * kx * sk, s=self.shape, axes=(0, 1, 2)),
+                jnp.fft.irfftn(1j * ky * sk, s=self.shape, axes=(0, 1, 2)),
+                jnp.fft.irfftn(1j * kz * sk, s=self.shape, axes=(0, 1, 2)),
+            ],
+            -1,
+        )
+
+    def _div(self, v):
+        vk = jnp.fft.rfftn(v, axes=(0, 1, 2))
+        kx, ky, kz = self._k(v.dtype)
+        dk = 1j * (kx * vk[..., 0] + ky * vk[..., 1] + kz * vk[..., 2])
+        return jnp.fft.irfftn(dk, s=self.shape, axes=(0, 1, 2))
+
+    def _lap(self, v):
+        vk = jnp.fft.rfftn(v, axes=(0, 1, 2))
+        kx, ky, kz = self._k(v.dtype)
+        k2 = (kx * kx + ky * ky + kz * kz)[..., None]
+        return jnp.fft.irfftn(-k2 * vk, s=self.shape, axes=(0, 1, 2))
+
+    def _rhs(self, fluid: CompressibleFluid, f_ext, sigma_div):
+        rho = fluid.rho
+        v = fluid.g / rho[..., None]
+        drho = -self._div(fluid.g)
+        adv = jnp.stack(
+            [self._div(fluid.g * v[..., a:a + 1]) for a in range(3)], -1
+        )
+        p = self.speed_of_sound**2 * rho
+        visc = self.shear_viscosity * self._lap(v) + (
+            self.bulk_viscosity + self.shear_viscosity / 3.0
+        ) * self._grad(self._div(v))
+        dg = -adv - self._grad(p) + visc + f_ext
+        if sigma_div is not None:
+            dg = dg + sigma_div
+        return drho, dg
+
+    def thermal_stress_div(self, key, dtype):
+        """div of the Landau-Lifshitz fluctuating stress (reference:
+        ICM_Compressible/Fluctuations.cuh)."""
+        eta, zeta = self.shear_viscosity, self.bulk_viscosity
+        amp_sh = math.sqrt(2.0 * eta * self.temperature / (self.dV * self.dt))
+        amp_bk = math.sqrt(2.0 * zeta * self.temperature / (self.dV * self.dt))
+        k1, k2 = jax.random.split(key)
+        w = jax.random.normal(k1, tuple(self.shape) + (3, 3), dtype)
+        tr = jnp.trace(w, axis1=-2, axis2=-1)[..., None, None] / 3.0
+        eye = jnp.eye(3, dtype=dtype)
+        sym = (w + jnp.swapaxes(w, -1, -2)) / math.sqrt(2.0)
+        sigma = amp_sh * (sym - jnp.trace(sym, axis1=-2, axis2=-1)[..., None, None] * eye / 3.0)
+        wtr = jax.random.normal(k2, tuple(self.shape), dtype)
+        sigma = sigma + amp_bk * wtr[..., None, None] * eye / math.sqrt(3.0)
+        sk = jnp.fft.rfftn(sigma, axes=(0, 1, 2))
+        kx, ky, kz = self._k(dtype)
+        div = 1j * (
+            kx[..., None] * sk[..., 0, :]
+            + ky[..., None] * sk[..., 1, :]
+            + kz[..., None] * sk[..., 2, :]
+        )
+        return jnp.fft.irfftn(div, s=self.shape, axes=(0, 1, 2))
+
+    def fluid_step(self, fluid, f_ext, key):
+        """SSP-RK3 (the reference's 3-substep Runge-Kutta,
+        FluidSolver.cuh)."""
+        dtype = fluid.rho.dtype
+        dt = jnp.asarray(self.dt, dtype)
+        sigma_div = (
+            self.thermal_stress_div(key, dtype)
+            if (self.temperature > 0 and key is not None)
+            else None
+        )
+
+        def f(fl):
+            return self._rhs(fl, f_ext, sigma_div)
+
+        d1r, d1g = f(fluid)
+        f1 = CompressibleFluid(rho=fluid.rho + dt * d1r, g=fluid.g + dt * d1g)
+        d2r, d2g = f(f1)
+        f2 = CompressibleFluid(
+            rho=0.75 * fluid.rho + 0.25 * (f1.rho + dt * d2r),
+            g=0.75 * fluid.g + 0.25 * (f1.g + dt * d2g),
+        )
+        d3r, d3g = f(f2)
+        return CompressibleFluid(
+            rho=fluid.rho / 3.0 + 2.0 / 3.0 * (f2.rho + dt * d3r),
+            g=fluid.g / 3.0 + 2.0 / 3.0 * (f2.g + dt * d3g),
+        )
+
+    def init_fluid(self, key=None, dtype=jnp.float32) -> CompressibleFluid:
+        rho = jnp.full(tuple(self.shape), jnp.asarray(self.density, dtype))
+        g = jnp.zeros(tuple(self.shape) + (3,), dtype)
+        if self.temperature > 0 and key is not None:
+            k1, k2 = jax.random.split(key)
+            # equilibrium fluctuations: <drho^2> = rho kT/(c^2 dV),
+            # <g_a^2> = rho kT/dV
+            rho = rho + jnp.sqrt(
+                jnp.asarray(
+                    self.density * self.temperature
+                    / (self.speed_of_sound**2 * self.dV),
+                    dtype,
+                )
+            ) * jax.random.normal(k1, rho.shape, dtype)
+            g = jnp.sqrt(
+                jnp.asarray(self.density * self.temperature / self.dV, dtype)
+            ) * jax.random.normal(k2, g.shape, dtype)
+        return CompressibleFluid(rho=rho, g=g)
+
+
+def icm_compressible_integrator(force_fn, icm: ICMCompressible) -> Integrator:
+    """Midpoint particle coupling around the RK3 fluid update
+    (reference: ICM_Compressible.cu forwardTime)."""
+    kern = icm.kernel
+
+    def init(state, aux):
+        fk = None
+        if icm.temperature > 0:
+            state, fk = next_key(state)
+        fluid = icm.init_fluid(fk, dtype=state.dtype)
+        if state.force is None:
+            state = state.replace(force=jnp.zeros_like(state.pos))
+        return state, (fluid, aux)
+
+    def step(state, carry):
+        fluid, aux = carry
+        dt = jnp.asarray(icm.dt, state.dtype)
+        v_field = fluid.g / fluid.rho[..., None]
+        v_at_p = interpolate(kern, state.pos, v_field, icm.box)
+        x_mid = state.pos + 0.5 * dt * v_at_p
+        fev, aux = force_fn(state.replace(pos=x_mid), aux)
+        f_grid = spread(kern, x_mid, fev.force, icm.shape, icm.box)
+        key = None
+        if icm.temperature > 0:
+            state, key = next_key(state)
+        fluid_new = icm.fluid_step(fluid, f_grid, key)
+        v_new = fluid_new.g / fluid_new.rho[..., None]
+        v_mid = interpolate(kern, x_mid, 0.5 * (v_field + v_new), icm.box)
+        state = state.replace(pos=state.pos + dt * v_mid, force=fev.force)
+        return advance_time(state, icm.dt), (fluid_new, aux)
+
+    return Integrator(init=init, step=step)
