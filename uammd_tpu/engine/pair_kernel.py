@@ -85,10 +85,15 @@ def make_pair_force_kernel(
     *,
     compute_virial: bool = False,
     interpret: bool | None = None,
+    periodic_z: bool = True,
 ):
     """Build force(x, y, z) -> (fx, fy, fz[, energy][, virial]).
 
     Arrays are [nz, nyb, CAP, NLANE] float32 (layout.GridState fields).
+    ``periodic_z=False`` runs in halo mode for domain decomposition
+    (parallel/domain.py): z-neighbor indices still wrap via the index map,
+    but no Lz image shift is applied — the caller supplies ghost slabs with
+    already-shifted coordinates, and discards the ghost rows of the output.
     """
     nx, ny, nz = spec.shape
     F = spec.fold
@@ -123,10 +128,11 @@ def make_pair_force_kernel(
                 by = by + jnp.where(ypid == nyb - 1, np.float32(Ly), 0.0)
             elif dyb == -1:
                 by = by + jnp.where(ypid == 0, np.float32(-Ly), 0.0)
-            if dz == 1:
-                bz = bz + jnp.where(zpid == nz - 1, np.float32(Lz), 0.0)
-            elif dz == -1:
-                bz = bz + jnp.where(zpid == 0, np.float32(-Lz), 0.0)
+            if periodic_z:
+                if dz == 1:
+                    bz = bz + jnp.where(zpid == nz - 1, np.float32(Lz), 0.0)
+                elif dz == -1:
+                    bz = bz + jnp.where(zpid == 0, np.float32(-Lz), 0.0)
             blocks[(dz, dyb)] = (bx, by, bz)
 
         xi, yi, zi = blocks[(0, 0)]

@@ -1,0 +1,148 @@
+"""Spatial domain decomposition of the grid-resident MD engine.
+
+The reference is single-GPU (SURVEY 2.6); this is the multi-chip design the
+TPU build adds. The cell grid's z axis is sharded over a 1-D device mesh
+("z"): each chip owns a slab of cells [nz_local, nyb, CAP, NLANE]. One MD
+step under ``shard_map``:
+
+1. **halo exchange**: each chip sends its boundary z-slab to both neighbors
+   with ``jax.lax.ppermute`` (ICI neighbor traffic — the TPU torus is made
+   for exactly this pattern); ghost slabs crossing the global boundary get
+   the +-Lz image shift applied on arrival.
+2. **local force kernel**: the same Pallas pair kernel as single-chip, run in
+   halo mode (periodic_z=False) on [nz_local + 2, ...]; ghost rows of the
+   output are discarded.
+3. **local integrator update** (embarrassingly parallel).
+
+Rebinning across shards works with the same halo pattern (each shard *pulls*
+the particles whose new cell lands in its slab — particles migrate at most
+one cell per rebin, i.e. at most one shard), and is handled by exchanging
+halos before the local rebin; the v1 below targets the dryrun/correctness
+path with the XLA fallback force (the Pallas kernel slots in unchanged on
+real hardware).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.layout import EMPTY_POS, GridSpec, choose_spec
+from ..engine.pair_kernel import make_pair_force_kernel
+
+
+def make_domain_md_step(
+    mesh: Mesh,
+    spec: GridSpec,
+    *,
+    epsilon: float = 1.0,
+    sigma: float = 1.0,
+    dt: float = 0.005,
+    temperature: float = 1.0,
+    friction: float = 1.0,
+    axis: str = "z",
+    interpret: bool | None = None,
+):
+    """Build step(x, y, z, vx, vy, vz, fx, fy, fz, keys) sharded over z-slabs.
+
+    Arrays are the GridState fields [nz, nyb, CAP, NLANE] with axis 0 sharded
+    over the mesh; keys is [n_devices, 2] uint32 (one PRNG key per shard).
+    Returns (jitted step fn, sharding for grid arrays).
+    """
+    n_dev = mesh.devices.size
+    nz = spec.shape[2]
+    assert nz % n_dev == 0, "nz must divide the mesh for z-sharding"
+    nz_loc = nz // n_dev
+    Lz = np.float32(spec.box_size[2])
+
+    from ..engine.md import lj_g
+
+    local_spec = dataclasses.replace(
+        spec, shape=(spec.shape[0], spec.shape[1], nz_loc + 2)
+    )
+    kern = make_pair_force_kernel(
+        local_spec, lj_g(epsilon, sigma), interpret=interpret,
+        periodic_z=False,
+    )
+
+    def halo_extend(a, shift_lo=0.0, shift_hi=0.0):
+        """Attach z-halos from ring neighbors (ppermute over ICI)."""
+        up = jax.lax.ppermute(
+            a[-1:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        down = jax.lax.ppermute(
+            a[:1], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        idx = jax.lax.axis_index(axis)
+        up = up + jnp.where(idx == 0, shift_lo, 0.0)
+        down = down + jnp.where(idx == n_dev - 1, shift_hi, 0.0)
+        return jnp.concatenate([up, a, down], axis=0)
+
+    def step_shard(x, y, z, vx, vy, vz, fx, fy, fz, key_data):
+        key = jax.random.wrap_key_data(key_data[0])
+        key, sub = jax.random.split(key)
+        mask = (jnp.abs(x) < EMPTY_POS / 2).astype(x.dtype)
+        # Gronbech-Jensen first half (same scheme as engine/md.py)
+        gdt = np.float32(0.5 * friction * dt)
+        b = np.float32(1.0 / (1.0 + gdt))
+        a_ = np.float32((1.0 - gdt) * b)
+        h = np.float32(dt)
+        amp = np.float32(
+            math.sqrt(2.0 * temperature * friction * dt)
+        )
+        nx_ = amp * jax.random.normal(sub, x.shape, x.dtype)
+        ny_ = amp * jax.random.normal(jax.random.fold_in(sub, 1), x.shape, x.dtype)
+        nz_ = amp * jax.random.normal(jax.random.fold_in(sub, 2), x.shape, x.dtype)
+        c_x = np.float32(0.5) * b * h
+        x = x + mask * (b * h * vx + c_x * (h * fx + nx_))
+        y = y + mask * (b * h * vy + c_x * (h * fy + ny_))
+        z = z + mask * (b * h * vz + c_x * (h * fz + nz_))
+        hv = np.float32(0.5) * h
+        vx = mask * (a_ * vx + hv * a_ * fx + b * nx_)
+        vy = mask * (a_ * vy + hv * a_ * fy + b * ny_)
+        vz = mask * (a_ * vz + hv * a_ * fz + b * nz_)
+        # halo exchange + local force kernel (ghost rows discarded)
+        xe = halo_extend(x)
+        ye = halo_extend(y)
+        ze = halo_extend(z, shift_lo=-Lz, shift_hi=Lz)
+        fxl, fyl, fzl = kern(xe, ye, ze)[:3]
+        fx = fxl[1:-1] * mask
+        fy = fyl[1:-1] * mask
+        fz = fzl[1:-1] * mask
+        vx = vx + hv * fx
+        vy = vy + hv * fy
+        vz = vz + hv * fz
+        return x, y, z, vx, vy, vz, fx, fy, fz, jax.random.key_data(key)[None]
+
+    gspec = P(axis)
+    step = jax.shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(gspec,) * 10,
+        out_specs=(gspec,) * 10,
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    sharding = NamedSharding(mesh, gspec)
+    return jax.jit(step), sharding
+
+
+def shard_grid_state(gs, mesh, axis: str = "z", seed: int = 0):
+    """Place a GridState's arrays on the mesh (z-sharded) + per-shard keys."""
+    sharding = NamedSharding(mesh, P(axis))
+    arrays = [
+        jax.device_put(a, sharding)
+        for a in (gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz, gs.fx, gs.fy, gs.fz)
+    ]
+    n_dev = mesh.devices.size
+    keys = jax.vmap(jax.random.key_data)(
+        jax.random.split(jax.random.key(seed), n_dev)
+    )
+    keys = jax.device_put(keys, sharding)
+    return arrays, keys
