@@ -35,7 +35,8 @@ def sync(x):
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def main(n=1 << 20, steps=200, warmup_steps=300, temperature=1.5):
+def main(n=1 << 20, steps=200, warmup_steps=300, temperature=1.5,
+         chunk=100):
     import numpy as np
 
     from uammd_tpu.engine.layout import unpack
@@ -50,22 +51,26 @@ def main(n=1 << 20, steps=200, warmup_steps=300, temperature=1.5):
         L, n, dt=0.004, temperature=temperature, pos=pos
     )
     gs = md_melt.init(pos, seed=0)
-    gs = md_melt.run(gs, warmup_steps)
+    for _ in range(warmup_steps // chunk):
+        gs = md_melt.run(gs, chunk)
     sync(gs.x)
     assert not bool(jax.device_get(gs.overflow)), "melt phase overflow"
 
-    # phase 2: repack into the steady-state engine and time it
+    # phase 2: repack into the steady-state engine (skin 1.28 -> 40^3 cells,
+    # occupancy-sized CAP) and time fixed-size compiled chunks
     melted_pos, melted_vel, _ = unpack(gs)
     md = make_lj_md(
-        L, n, dt=0.01, temperature=temperature,
+        L, n, dt=0.01, temperature=temperature, skin=1.28,
         pos=np.asarray(jax.device_get(melted_pos)),
     )
     gs = md.init(np.asarray(jax.device_get(melted_pos)), seed=1)
-    gs = md.run(gs, 20)  # compile + settle
+    gs = md.run(gs, chunk)  # compile + settle
     sync(gs.x)
 
+    assert steps % chunk == 0
     t0 = time.perf_counter()
-    gs = md.run(gs, steps)
+    for _ in range(steps // chunk):
+        gs = md.run(gs, chunk)
     sync(gs.x)
     dt_s = time.perf_counter() - t0
     assert not bool(jax.device_get(gs.overflow)), "timed phase overflow"

@@ -129,7 +129,10 @@ def choose_spec(
             ]
             flat = (idx[2] * ny + idx[1]) * nx + idx[0]
             occ = int(np.bincount(flat, minlength=nx * ny * nz).max())
-            cap = max(cap, (occ + 2 + 7) // 8 * 8)
+            # the measured occupancy (with a fluctuation margin) REPLACES the
+            # Poisson estimate — real liquids are sub-Poissonian, and CAP^2
+            # drives the kernel cost
+            cap = (occ + max(2, occ // 8) + 7) // 8 * 8
     return GridSpec(
         box_size=tuple(Ls), shape=(nx, ny, nz), cap=cap, fold=F,
         cutoff=float(cutoff), skin=float(skin),

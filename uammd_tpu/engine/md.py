@@ -29,13 +29,18 @@ from .layout import (
     unpack,
 )
 from .pair_kernel import make_pair_force_kernel
-from .rebin_kernel import rebin_fast
+from .rebin_kernel import rebin_fast, rebin_fast_noforce
 
 
 def maybe_rebin(gs: GridState) -> GridState:
     """Drift-triggered rebin via the Pallas kernel (layout.maybe_rebin uses
     the slower sort path; kept for cross-validation)."""
     return jax.lax.cond(needs_rebin(gs), rebin_fast, lambda g: g, gs)
+
+
+def maybe_rebin_noforce(gs: GridState) -> GridState:
+    """As maybe_rebin but dropping forces (recomputed right after)."""
+    return jax.lax.cond(needs_rebin(gs), rebin_fast_noforce, lambda g: g, gs)
 
 
 def lj_g(epsilon=1.0, sigma=1.0):
@@ -64,6 +69,9 @@ def lj_e(epsilon=1.0, sigma=1.0, shift_rc=None):
         return np.float32(4.0) * eps * (inv6 * inv6 - inv6) - e_shift
 
     return e
+
+
+_SCAN_CACHE: dict = {}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,10 +107,14 @@ class GridMD:
 
     def step(self, gs: GridState) -> GridState:
         """One Gronbech-Jensen Langevin step (reference:
-        src/Integrator/VerletNVT/GronbechJensen.cu:20-62)."""
+        src/Integrator/VerletNVT/GronbechJensen.cu:20-62).
+
+        Order: position/velocity update with f(t) -> drift-triggered rebin
+        (forces dropped: f(t) is fully consumed by then) -> new forces ->
+        final half kick. Rebinning after the position update keeps the drift
+        check tight and lets the rebin move 7 instead of 10 quantities."""
         dt = np.float32(self.dt)
         m = np.float32(self.mass)
-        gs = maybe_rebin(gs)
         mask = gs.mask
         key, sub = jax.random.split(gs.key)
         if self.temperature > 0:
@@ -128,6 +140,7 @@ class GridMD:
         vy = mask * (a * gs.vy + hv * a * gs.fy + (b / m) * ny_)
         vz = mask * (a * gs.vz + hv * a * gs.fz + (b / m) * nz_)
         gs = gs.replace(x=x, y=y, z=z, vx=vx, vy=vy, vz=vz, key=key)
+        gs = maybe_rebin_noforce(gs)
         gs = self.compute_forces(gs)
         return gs.replace(
             vx=gs.vx + hv * gs.fx, vy=gs.vy + hv * gs.fy, vz=gs.vz + hv * gs.fz
@@ -136,7 +149,6 @@ class GridMD:
     def step_nve(self, gs: GridState) -> GridState:
         dt = np.float32(self.dt)
         m = np.float32(self.mass)
-        gs = maybe_rebin(gs)
         h = np.float32(0.5) * dt / m
         vx = gs.vx + h * gs.fx
         vy = gs.vy + h * gs.fy
@@ -147,22 +159,32 @@ class GridMD:
             z=gs.z + gs.mask * dt * vz,
             vx=vx, vy=vy, vz=vz,
         )
+        gs = maybe_rebin_noforce(gs)
         gs = self.compute_forces(gs)
         return gs.replace(
             vx=gs.vx + h * gs.fx, vy=gs.vy + h * gs.fy, vz=gs.vz + h * gs.fz
         )
 
+    def _scan_fn(self, n_steps: int, nve: bool):
+        key = (n_steps, nve)
+        cache = _SCAN_CACHE.setdefault(id(self), {})
+        if key not in cache:
+            step = self.step_nve if nve else self.step
+
+            @jax.jit
+            def go(gs):
+                def body(g, _):
+                    return step(g), None
+                out, _ = jax.lax.scan(body, gs, None, length=n_steps)
+                return out
+
+            cache[key] = go
+        return cache[key]
+
     def run(self, gs: GridState, n_steps: int, *, nve: bool = False) -> GridState:
-        step = self.step_nve if nve else self.step
-
-        @jax.jit
-        def go(gs):
-            def body(g, _):
-                return step(g), None
-            out, _ = jax.lax.scan(body, gs, None, length=n_steps)
-            return out
-
-        return go(gs)
+        """Advance n_steps in one compiled scan (compiled once per length —
+        prefer repeated calls with the same n_steps, e.g. fixed chunks)."""
+        return self._scan_fn(n_steps, nve)(gs)
 
     def temperature_of(self, gs: GridState) -> jax.Array:
         ke = 0.5 * self.mass * jnp.sum(gs.vx**2 + gs.vy**2 + gs.vz**2)

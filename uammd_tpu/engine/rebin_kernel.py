@@ -243,18 +243,20 @@ def _nbr_index(z, yb, *, dz, dyb, nz, nyb):
 _KERNEL_CACHE = {}
 
 
+def _get_kernel(spec, n_q):
+    key = (spec, n_q, jax.default_backend())
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make_rebin_kernel(spec, n_q)
+    return _KERNEL_CACHE[key]
+
+
 def rebin_fast(gs: GridState) -> GridState:
     """Drop-in replacement for layout.rebin using the Pallas kernel.
 
     pid is carried as pid+1 in float32 (exact up to 2^24 particles) so the
     kernel's zero-filled accumulators map unfilled -> pid -1 naturally.
     """
-    spec = gs.spec
-    n_q = 10
-    key = (spec, n_q, jax.default_backend())
-    if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = make_rebin_kernel(spec, n_q)
-    kern = _KERNEL_CACHE[key]
+    kern = _get_kernel(gs.spec, 10)
     stacked = jnp.stack(
         [
             gs.x, gs.y, gs.z,
@@ -270,6 +272,32 @@ def rebin_fast(gs: GridState) -> GridState:
         x=out[0], y=out[1], z=out[2],
         vx=out[3], vy=out[4], vz=out[5],
         fx=out[6], fy=out[7], fz=out[8],
+        pid=pid, ref_x=out[0], ref_y=out[1], ref_z=out[2],
+        overflow=overflow,
+    )
+
+
+def rebin_fast_noforce(gs: GridState) -> GridState:
+    """Rebin carrying only (pos, vel, pid) — 30% cheaper than the full 10-
+    quantity move. Valid whenever forces are recomputed immediately after
+    (the Gronbech-Jensen step recomputes f right after the rebin, so f never
+    needs to survive a slot shuffle)."""
+    kern = _get_kernel(gs.spec, 7)
+    stacked = jnp.stack(
+        [
+            gs.x, gs.y, gs.z,
+            gs.vx, gs.vy, gs.vz,
+            (gs.pid + 1).astype(jnp.float32),
+        ]
+    )
+    out, count, ovf = kern(stacked)
+    pid = out[6].astype(jnp.int32) - 1
+    overflow = gs.overflow | (ovf > 0) | (count.astype(jnp.int32) != gs.n)
+    zero = jnp.zeros_like(gs.fx)
+    return gs.replace(
+        x=out[0], y=out[1], z=out[2],
+        vx=out[3], vy=out[4], vz=out[5],
+        fx=zero, fy=zero, fz=zero,
         pid=pid, ref_x=out[0], ref_y=out[1], ref_z=out[2],
         overflow=overflow,
     )

@@ -112,6 +112,49 @@ class FCM:
         u, kern = self.grid_velocity(pos, forces)
         return interpolate(kern, pos, u, self.box)
 
+    def compute_hydrodynamic_displacements(self, pos, forces, torques=None):
+        """Linear (and angular) velocities from forces (and torques).
+
+        Torque coupling follows the reference's curl construction
+        (FCM_impl.cuh:670 addSpreadTorquesFourier + the angular
+        interpolation): the torque field enters as (i/2) k x tau(k) and the
+        angular velocity is w = (1/2) curl u -> (i/2) k x u(k). The same
+        Gaussian envelope is used for both monopole and rotlet (the
+        reference offers a separate torque width; that refinement is a
+        parameter away)."""
+        kern = self._kernel(pos.dtype)
+        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
+        kx, ky, kz = _wavevectors(self.shape, self.box_size, pos.dtype)
+        if torques is not None:
+            t_grid = spread(kern, pos, torques, self.shape, self.box)
+            tk = jnp.fft.rfftn(t_grid, axes=(0, 1, 2))
+            # add (i/2) k x tau
+            fk = fk + 0.5j * jnp.stack(
+                [
+                    ky * tk[..., 2] - kz * tk[..., 1],
+                    kz * tk[..., 0] - kx * tk[..., 2],
+                    kx * tk[..., 1] - ky * tk[..., 0],
+                ],
+                -1,
+            )
+        uk = self._project(fk, kx, ky, kz)
+        u = jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
+        v = interpolate(kern, pos, u, self.box)
+        if torques is None:
+            return v, None
+        wk = 0.5j * jnp.stack(
+            [
+                ky * uk[..., 2] - kz * uk[..., 1],
+                kz * uk[..., 0] - kx * uk[..., 2],
+                kx * uk[..., 1] - ky * uk[..., 0],
+            ],
+            -1,
+        )
+        w = jnp.fft.irfftn(wk, s=self.shape, axes=(0, 1, 2))
+        omega = interpolate(kern, pos, w, self.box)
+        return v, omega
+
     def compute_bdw(self, pos, key):
         """sqrt(M) dW: filter real white noise through sqrt(B(k)) =
         (I - k^k^)/sqrt(eta) / k (projector is idempotent so its own sqrt)."""
