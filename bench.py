@@ -56,11 +56,11 @@ def main(n=1 << 20, steps=200, warmup_steps=300, temperature=1.5,
     sync(gs.x)
     assert not bool(jax.device_get(gs.overflow)), "melt phase overflow"
 
-    # phase 2: repack into the steady-state engine (skin 1.28 -> 40^3 cells,
-    # occupancy-sized CAP) and time fixed-size compiled chunks
+    # phase 2: repack into the steady-state engine (occupancy-sized CAP)
+    # and time fixed-size compiled chunks
     melted_pos, melted_vel, _ = unpack(gs)
     md = make_lj_md(
-        L, n, dt=0.01, temperature=temperature, skin=1.28,
+        L, n, dt=0.01, temperature=temperature,
         pos=np.asarray(jax.device_get(melted_pos)),
     )
     gs = md.init(np.asarray(jax.device_get(melted_pos)), seed=1)

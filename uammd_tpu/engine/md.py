@@ -92,10 +92,11 @@ class GridMD:
             sd = float(np.sqrt(self.temperature / self.mass))
             shape = gs.x.shape
             m = gs.mask
+            dt_ = gs.x.dtype
             gs = gs.replace(
-                vx=sd * jax.random.normal(k1, shape) * m,
-                vy=sd * jax.random.normal(jax.random.fold_in(k1, 1), shape) * m,
-                vz=sd * jax.random.normal(jax.random.fold_in(k1, 2), shape) * m,
+                vx=sd * jax.random.normal(k1, shape, dt_) * m,
+                vy=sd * jax.random.normal(jax.random.fold_in(k1, 1), shape, dt_) * m,
+                vz=sd * jax.random.normal(jax.random.fold_in(k1, 2), shape, dt_) * m,
                 key=k2,
             )
         return self.compute_forces(gs)
@@ -122,9 +123,10 @@ class GridMD:
                 np.sqrt(2.0 * self.temperature * self.friction * self.mass * self.dt)
             )
             shape = gs.x.shape
-            nx_ = amp * jax.random.normal(sub, shape)
-            ny_ = amp * jax.random.normal(jax.random.fold_in(sub, 1), shape)
-            nz_ = amp * jax.random.normal(jax.random.fold_in(sub, 2), shape)
+            dt_ = gs.x.dtype
+            nx_ = amp * jax.random.normal(sub, shape, dt_)
+            ny_ = amp * jax.random.normal(jax.random.fold_in(sub, 1), shape, dt_)
+            nz_ = amp * jax.random.normal(jax.random.fold_in(sub, 2), shape, dt_)
         else:
             nx_ = ny_ = nz_ = jnp.zeros_like(gs.x)
         gdt = np.float32(0.5 * self.friction * self.dt)
