@@ -55,12 +55,20 @@ def _z_mask(is2D, dtype):
     return jnp.asarray([1.0, 1.0, 0.0] if is2D else [1.0, 1.0, 1.0], dtype)
 
 
+def _ensure_force(state):
+    """Materialize the force field so scan carries keep a stable pytree
+    structure (the step stores the last force in the state)."""
+    if state.force is None:
+        return state.replace(force=jnp.zeros_like(state.pos))
+    return state
+
+
 def euler_maruyama(
     force_fn, dt: float, temperature: float = 0.0, viscosity: float = 1.0,
     hydrodynamic_radius=None, K=None, *, is2D: bool = False,
 ) -> Integrator:
     def init(state, aux):
-        return state, aux
+        return _ensure_force(state), aux
 
     def step(state, aux):
         h = jnp.asarray(dt, state.dtype)
@@ -84,7 +92,7 @@ def midpoint(
     """Stochastic midpoint scheme (reference: BrownianDynamics.cu:190-232)."""
 
     def init(state, aux):
-        return state, aux
+        return _ensure_force(state), aux
 
     def step(state, aux):
         h = jnp.asarray(dt, state.dtype)
@@ -153,7 +161,7 @@ def leimkuhler(
     def init(state, aux):
         state, k = next_key(state)
         xi = jax.random.normal(k, state.pos.shape, state.dtype)
-        return state, (xi, aux)
+        return _ensure_force(state), (xi, aux)
 
     def step(state, carry):
         xi_prev, aux = carry

@@ -42,12 +42,32 @@ def initialize_velocities(state: SimState, temperature, is2D=False) -> SimState:
     return state.replace(vel=_zero_z(v, is2D))
 
 
-def nve(force_fn, dt: float, *, is2D: bool = False) -> Integrator:
-    """Velocity Verlet NVE (reference: VerletNVE.cu:174-189)."""
+def nve(
+    force_fn, dt: float, *, is2D: bool = False, initial_energy: float | None = None,
+) -> Integrator:
+    """Velocity Verlet NVE (reference: VerletNVE.cu:174-189).
+
+    ``initial_energy``: if given and the state has no velocities, draw them
+    and rescale so the TOTAL energy matches (the reference's
+    initVelocities-to-target-energy option, VerletNVE.cuh:38)."""
 
     def init(state, aux):
         if state.vel is None:
-            state = state.replace(vel=jnp.zeros_like(state.pos))
+            if initial_energy is not None:
+                state = initialize_velocities(state, 1.0, is2D)
+                fev_e, aux = force_fn(state, aux)
+                pot_e = (
+                    jnp.sum(fev_e.energy) if fev_e.energy is not None else 0.0
+                )
+                from .base import kinetic_energy
+
+                ke = kinetic_energy(state)
+                target_ke = jnp.maximum(initial_energy - pot_e, 1e-12)
+                state = state.replace(
+                    vel=state.vel * jnp.sqrt(target_ke / jnp.maximum(ke, 1e-30))
+                )
+            else:
+                state = state.replace(vel=jnp.zeros_like(state.pos))
         fev, aux = force_fn(state, aux)
         return state.replace(force=fev.force), aux
 
