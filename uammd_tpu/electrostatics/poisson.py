@@ -28,7 +28,7 @@ import numpy as np
 from ..core.box import Box
 from ..core.grid import next_fft_size
 from ..core.types import Computables, ForceEnergyVirial
-from ..solvers.ibm import GaussianKernel, interpolate, spread
+from ..solvers.ibm import (GaussianKernel, interpolate_auto as interpolate, spread_auto as spread)
 
 
 @dataclasses.dataclass(frozen=True)

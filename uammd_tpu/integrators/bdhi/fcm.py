@@ -28,7 +28,7 @@ import numpy as np
 
 from ...core.box import Box
 from ...core.grid import next_fft_size
-from ...solvers.ibm import GaussianKernel, interpolate, spread
+from ...solvers.ibm import (GaussianKernel, interpolate_auto as interpolate, spread_auto as spread)
 
 
 def _wavevectors(shape, box_size, dtype=jnp.float32):

@@ -170,3 +170,34 @@ def interpolate(kernel, pos, field, box: Box):
     vals = field[idx[..., 0], idx[..., 1], idx[..., 2]]  # [N, s^3, C]
     out = jnp.sum(w[:, :, None] * vals, axis=1)
     return out[:, 0] if squeeze else out
+
+
+def spread_auto(kernel, pos, values, shape, box: Box, *, threshold=4096,
+                cap=None):
+    """Dispatch: tiled scatter-free path for large N (see tiled_ibm.py),
+    direct scatter otherwise. Returns just the field (tiled overflow is
+    guarded by a generous capacity; pass ``cap`` for unusual densities)."""
+    from .tiled_ibm import TILE, _tile_counts, spread_tiled
+
+    if (
+        pos.shape[0] >= threshold
+        and kernel.support <= TILE
+        and min(_tile_counts(shape)) >= 3
+    ):
+        field, _ = spread_tiled(kernel, pos, values, shape, box, cap=cap)
+        return field
+    return spread(kernel, pos, values, shape, box)
+
+
+def interpolate_auto(kernel, pos, field, box: Box, *, threshold=4096,
+                     cap=None):
+    from .tiled_ibm import TILE, _tile_counts, interpolate_tiled
+
+    if (
+        pos.shape[0] >= threshold
+        and kernel.support <= TILE
+        and min(_tile_counts(field.shape[:3])) >= 3
+    ):
+        out, _ = interpolate_tiled(kernel, pos, field, box, cap=cap)
+        return out
+    return interpolate(kernel, pos, field, box)

@@ -1,0 +1,324 @@
+"""Tiled, scatter-free spread/interpolate for large particle counts.
+
+Same API and math as solvers/ibm.py (the reference IBM module,
+src/misc/IBM.cuh), but reorganized for the TPU memory system: XLA scatters
+run at ~1 GB/s on this platform, so the naive one-big-scatter spread costs
+seconds at N ~ 1e5 on fine grids. Here:
+
+1. particles are binned into 8^3-point grid *tiles* by the same two-sort
+   filler algorithm as the MD engine (engine/layout._bin_columns idea) —
+   no scatters, empty slots carry a far-away sentinel position so their
+   kernel weights vanish identically (no masks);
+2. each tile *pulls* sources from its 27 tile neighborhood (jnp.roll over
+   tile axes — regular memory movement), evaluates the separable kernel
+   weights for its 8 points per axis, and accumulates its 8x8x8 patch with
+   one batched contraction (MXU matmuls), chunked over tiles;
+3. interpolation is the adjoint: each tile gathers its 24^3-point halo
+   window of the field (27 rolls) and contracts it with its own particles'
+   separable weights, axis by axis.
+
+Requirements: kernel support <= TILE (8) grid points, so a particle's
+stencil never extends beyond the neighboring tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box import Box
+
+TILE = 8
+EMPTY = 1.0e9
+
+
+def _tile_counts(shape):
+    return tuple((s + TILE - 1) // TILE for s in shape)
+
+
+def _bin_by_tile(pos, values, shape, box: Box, cap: int):
+    """-> sources [ntiles, cap, 3 + C] (xyz then values), tile-major order.
+
+    Two variadic sorts with one filler per slot (see engine/layout.py for
+    the algorithm discussion); empties get EMPTY positions and zero values.
+    """
+    nt = _tile_counts(shape)
+    ntiles = nt[0] * nt[1] * nt[2]
+    n = pos.shape[0]
+    L = box.size.astype(pos.dtype)
+    nvec = jnp.asarray(shape, jnp.int32)
+    # grid-point space u in [0, n_d)
+    frac = pos / L + 0.5
+    frac = frac - jnp.floor(frac)
+    u = frac * nvec
+    tidx = jnp.minimum((u / TILE).astype(jnp.int32), jnp.asarray(nt) - 1)
+    key = (tidx[:, 0] * nt[1] + tidx[:, 1]) * nt[2] + tidx[:, 2]
+
+    cols = [pos[:, 0], pos[:, 1], pos[:, 2]] + [values[:, c] for c in range(values.shape[1])]
+    ncol = len(cols)
+    filler_key = jnp.repeat(jnp.arange(ntiles, dtype=jnp.int32), cap)
+    key2 = jnp.concatenate([key * 2, filler_key * 2 + 1])
+
+    def pad(c, fill):
+        return jnp.concatenate([c, jnp.full((ntiles * cap,), fill, c.dtype)])
+
+    stream = (key2,) + tuple(
+        pad(c, EMPTY if i < 3 else 0.0) for i, c in enumerate(cols)
+    )
+    s = jax.lax.sort(stream, dimension=0, num_keys=1)
+    cell = s[0] >> 1
+    m = n + ntiles * cap
+    idx = jnp.arange(m, dtype=jnp.int32)
+    first = jnp.searchsorted(cell, cell, side="left").astype(jnp.int32)
+    rank = idx - first
+    kept = rank < cap
+    overflow = jnp.any(((s[0] & 1) == 0) & (rank >= cap))
+    slot = jnp.where(kept, cell * cap + rank, m + idx)
+    s2 = jax.lax.sort((slot,) + s[1:], dimension=0, num_keys=1)
+    T = ntiles * cap
+    out = jnp.stack([c[:T] for c in s2[1:]], axis=-1)  # [T, 3+C]
+    return out.reshape(ntiles, cap, ncol), overflow
+
+
+def _tile_centers(shape, Ls, dtype):
+    """Physical center coordinate of each tile per axis: [nt_d] arrays
+    (jit-traceable — Ls may be traced box sizes).
+
+    All kernel displacements are computed relative to the tile center with
+    the source position min-imaged ONCE per (tile, source) pair — wrapping
+    per grid point would alias the tile's ghost points onto real points and
+    double count contributions."""
+    outs = []
+    for d in range(3):
+        h = Ls[d] / shape[d]
+        ntd = (shape[d] + TILE - 1) // TILE
+        centers = (jnp.arange(ntd, dtype=dtype) * TILE + TILE / 2.0) * h \
+            - Ls[d] / 2.0
+        outs.append(centers)
+    return outs
+
+
+def _local_offsets(dtype):
+    """Grid-point offsets from the tile center, in units of h: [-3.5..3.5]."""
+    return jnp.arange(TILE, dtype=dtype) - (TILE - 1) / 2.0
+
+
+def _wrap1(dx, L):
+    return dx - L * jnp.round(dx / L)
+
+
+def _gather_neighborhood(bins, nt):
+    """bins [ntiles, cap, C] -> [ntiles, 27*cap, C] via rolls over tile axes."""
+    ntx, nty, ntz = nt
+    b = bins.reshape(ntx, nty, ntz, *bins.shape[1:])
+    parts = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                parts.append(jnp.roll(b, (dx, dy, dz), axis=(0, 1, 2)))
+    out = jnp.concatenate(parts, axis=3)
+    return out.reshape(ntx * nty * ntz, -1, bins.shape[-1])
+
+
+def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
+                 chunk=1024):
+    """S: values [N] or [N, C] -> field [nx, ny, nz(, C)]. Same semantics as
+    solvers.ibm.spread (1/dV density normalization)."""
+    assert kernel.support <= TILE, "kernel support must fit one tile"
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    C = values.shape[1]
+    nt = _tile_counts(shape)
+    assert min(nt) >= 3, "tiled path needs >= 24 grid points per axis"
+    ntiles = nt[0] * nt[1] * nt[2]
+    n = pos.shape[0]
+    if cap is None:
+        cap = max(4, int(math.ceil(n / ntiles * 2.0)) + 4)
+    dtype = values.dtype
+    Ls = box.size.astype(dtype)
+    h = [Ls[d] / shape[d] for d in range(3)]
+    inv_dV = 1.0 / (h[0] * h[1] * h[2])
+
+    bins, overflow = _bin_by_tile(pos, values, shape, box, cap)
+    src = _gather_neighborhood(bins, nt)  # [ntiles, 27cap, 3+C]
+    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype)
+    loc = _local_offsets(dtype)  # [TILE] in h units
+
+    S = src.shape[1]
+    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
+
+    def do_chunk(args):
+        s_c, tx_c, ty_c, tz_c = args
+        # source positions relative to the tile center (min-imaged once)
+        rx = _wrap1(s_c[:, :, 0] - cx_[tx_c][:, None], Ls[0]) / h[0]
+        ry = _wrap1(s_c[:, :, 1] - cy_[ty_c][:, None], Ls[1]) / h[1]
+        rz = _wrap1(s_c[:, :, 2] - cz_[tz_c][:, None], Ls[2]) / h[2]
+        # weights per axis: [Ct, S, TILE]
+        wx = kernel.phi(loc[None, None, :] - rx[:, :, None])
+        wy = kernel.phi(loc[None, None, :] - ry[:, :, None])
+        wz = kernel.phi(loc[None, None, :] - rz[:, :, None])
+        vals = s_c[:, :, 3:]  # [Ct, S, C]
+        wxy = wx[:, :, :, None] * wy[:, :, None, :]  # [Ct, S, 8, 8]
+        wxy = wxy.reshape(wxy.shape[0], S, TILE * TILE)
+        b = wz[:, :, :, None] * vals[:, :, None, :]  # [Ct, S, 8, C]
+        b = b.reshape(b.shape[0], S, TILE * C)
+        patch = jnp.einsum(
+            "tsk,tsm->tkm", wxy, b, preferred_element_type=dtype
+        )  # [Ct, 64, 8*C]
+        return patch
+
+    pad_t = (-ntiles) % chunk
+    tid = jnp.concatenate([tile_ids, jnp.zeros((pad_t,), jnp.int32)]) if pad_t else tile_ids
+    src_p = jnp.concatenate([src, jnp.zeros((pad_t,) + src.shape[1:], dtype)]) if pad_t else src
+    patches = jax.lax.map(
+        do_chunk,
+        (
+            src_p.reshape(-1, chunk, S, src.shape[-1]),
+            (tid // (nt[1] * nt[2])).reshape(-1, chunk),
+            ((tid // nt[2]) % nt[1]).reshape(-1, chunk),
+            (tid % nt[2]).reshape(-1, chunk),
+        ),
+    )
+    patches = patches.reshape(-1, TILE * TILE, TILE * C)[:ntiles]
+    patches = patches.reshape(ntiles, TILE, TILE, TILE, C)
+    # assemble [ntx*8, nty*8, ntz*8, C] then fold the padding back (PBC alias)
+    field = patches.reshape(nt[0], nt[1], nt[2], TILE, TILE, TILE, C)
+    field = field.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+        nt[0] * TILE, nt[1] * TILE, nt[2] * TILE, C
+    )
+    # ghost points (tile padding) are redundant copies: every real grid
+    # point belongs to exactly one tile, which pulls all sources within
+    # reach — so padding is simply truncated (folding it back would double
+    # count boundary contributions).
+    field = field[: shape[0], : shape[1], : shape[2]]
+    field = field * inv_dV
+    return (field[..., 0] if squeeze else field), overflow
+
+
+def _pad_field_tiles(field, shape):
+    """Zero-pad the field to tile multiples for window reads.
+
+    Ghost points are ZERO (not periodic copies): each real point is read
+    through the window block of the tile that owns it — periodic copies in
+    the padding would be read a second time through the wrapped neighbor
+    block and double count."""
+    pads = []
+    for d in range(3):
+        target = _tile_counts(shape)[d] * TILE
+        pads.append((0, target - field.shape[d]))
+    pads.append((0, 0))
+    return jnp.pad(field, pads)
+
+
+def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
+    """J = S^*: field [nx, ny, nz(, C)] -> [N(, C)], adjoint of spread_tiled."""
+    assert kernel.support <= TILE
+    squeeze = field.ndim == 3
+    if squeeze:
+        field = field[..., None]
+    C = field.shape[-1]
+    shape = field.shape[:3]
+    nt = _tile_counts(shape)
+    assert min(nt) >= 3, "tiled path needs >= 24 grid points per axis"
+    ntiles = nt[0] * nt[1] * nt[2]
+    n = pos.shape[0]
+    if cap is None:
+        cap = max(4, int(math.ceil(n / ntiles * 2.0)) + 4)
+    dtype = field.dtype
+    Ls = box.size.astype(dtype)
+    h = [Ls[d] / shape[d] for d in range(3)]
+
+    # bin particles WITH their index so results can be unbinned
+    idx_val = jnp.arange(n, dtype=dtype)[:, None] + 1.0  # pid+1 as float
+    bins, overflow = _bin_by_tile(pos, idx_val, shape, box, cap)
+    # y/z-extended windows (9 rolls): [ntx,nty,ntz,8,24,24,C]; the x
+    # neighborhood is handled as 3 separate contraction passes so the full
+    # 24^3 window tensor (which would be 27x the field) never materializes.
+    fpad = _pad_field_tiles(field, shape)
+    ft = fpad.reshape(nt[0], TILE, nt[1], TILE, nt[2], TILE, C).transpose(
+        0, 2, 4, 1, 3, 5, 6
+    )  # [ntx, nty, ntz, 8, 8, 8, C]
+    wz_cat = jnp.concatenate(
+        [jnp.roll(ft, -dz, axis=2) for dz in (-1, 0, 1)], axis=5
+    )  # z-dim 24
+    win_yz = jnp.concatenate(
+        [jnp.roll(wz_cat, -dy, axis=1) for dy in (-1, 0, 1)], axis=4
+    )  # [ntx,nty,ntz,8,24,24,C]
+    win_yz = win_yz.reshape(ntiles, TILE, 3 * TILE, 3 * TILE, C)
+
+    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype)
+    loc = _local_offsets(dtype)
+    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
+
+    def block_weights(svals, centers, t_c, L, hd, ntd, dt):
+        """[Ct, cap, TILE] weights vs the 8 points of tile (t + dt)."""
+        cb = centers[(t_c + dt) % ntd]
+        r = _wrap1(svals - cb[:, None], L) / hd
+        return kernel.phi(loc[None, None, :] - r[:, :, None])
+
+    def window_weights(svals, centers, t_c, L, hd, ntd):
+        return jnp.concatenate(
+            [block_weights(svals, centers, t_c, L, hd, ntd, dt)
+             for dt in (-1, 0, 1)],
+            axis=-1,
+        )  # [Ct, cap, 24]
+
+    def make_chunk_fn(dx):
+        def do_chunk(args):
+            b_c, w_c, tx_c, ty_c, tz_c = args
+            pid = b_c[:, :, 3]
+            wx = block_weights(b_c[:, :, 0], cx_, tx_c, Ls[0], h[0], nt[0], dx)
+            wy = window_weights(b_c[:, :, 1], cy_, ty_c, Ls[1], h[1], nt[1])
+            wz = window_weights(b_c[:, :, 2], cz_, tz_c, Ls[2], h[2], nt[2])
+            t1 = jnp.einsum("tpz,txyzc->tpxyc", wz, w_c)
+            t2 = jnp.einsum("tpy,tpxyc->tpxc", wy, t1)
+            out = jnp.einsum("tpx,tpxc->tpc", wx, t2)
+            return out, pid
+
+        return do_chunk
+
+    pad_t = (-ntiles) % chunk
+    bins_p = (
+        jnp.concatenate([bins, jnp.zeros((pad_t,) + bins.shape[1:], dtype)])
+        if pad_t else bins
+    )
+    tid = (
+        jnp.concatenate([tile_ids, jnp.zeros((pad_t,), jnp.int32)])
+        if pad_t else tile_ids
+    )
+    txc = (tid // (nt[1] * nt[2])).reshape(-1, chunk)
+    tyc = ((tid // nt[2]) % nt[1]).reshape(-1, chunk)
+    tzc = (tid % nt[2]).reshape(-1, chunk)
+    bins_c = bins_p.reshape(-1, chunk, *bins.shape[1:])
+
+    outs = None
+    pids = None
+    for dx in (-1, 0, 1):
+        w_roll = jnp.roll(
+            win_yz.reshape(nt[0], nt[1] * nt[2], *win_yz.shape[1:]),
+            -dx, axis=0,
+        ).reshape(ntiles, *win_yz.shape[1:])
+        if pad_t:
+            w_roll = jnp.concatenate(
+                [w_roll, jnp.zeros((pad_t,) + w_roll.shape[1:], dtype)]
+            )
+        o, p = jax.lax.map(
+            make_chunk_fn(dx),
+            (bins_c, w_roll.reshape(-1, chunk, *w_roll.shape[1:]),
+             txc, tyc, tzc),
+        )
+        outs = o if outs is None else outs + o
+        pids = p
+    outs = outs.reshape(-1, C)
+    pids = pids.reshape(-1)
+    # un-bin: slot-sort by pid (empties carry pid 0 -> sort first, sliced off)
+    order = jax.lax.sort(
+        (pids,) + tuple(outs[:, c] for c in range(C)), dimension=0, num_keys=1
+    )
+    result = jnp.stack(order[1:], axis=-1)[-n:]
+    return (result[:, 0] if squeeze else result), overflow
