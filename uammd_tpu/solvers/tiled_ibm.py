@@ -236,20 +236,13 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
     # bin particles WITH their index so results can be unbinned
     idx_val = jnp.arange(n, dtype=dtype)[:, None] + 1.0  # pid+1 as float
     bins, overflow = _bin_by_tile(pos, idx_val, shape, box, cap)
-    # y/z-extended windows (9 rolls): [ntx,nty,ntz,8,24,24,C]; the x
-    # neighborhood is handled as 3 separate contraction passes so the full
-    # 24^3 window tensor (which would be 27x the field) never materializes.
+    # 27 per-offset passes: each contracts the particles' separable weights
+    # against ONE rolled copy of the tiled field (memory stays ~2x the
+    # field; materializing the 24^3 windows would cost 27x).
     fpad = _pad_field_tiles(field, shape)
     ft = fpad.reshape(nt[0], TILE, nt[1], TILE, nt[2], TILE, C).transpose(
         0, 2, 4, 1, 3, 5, 6
     )  # [ntx, nty, ntz, 8, 8, 8, C]
-    wz_cat = jnp.concatenate(
-        [jnp.roll(ft, -dz, axis=2) for dz in (-1, 0, 1)], axis=5
-    )  # z-dim 24
-    win_yz = jnp.concatenate(
-        [jnp.roll(wz_cat, -dy, axis=1) for dy in (-1, 0, 1)], axis=4
-    )  # [ntx,nty,ntz,8,24,24,C]
-    win_yz = win_yz.reshape(ntiles, TILE, 3 * TILE, 3 * TILE, C)
 
     cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype)
     loc = _local_offsets(dtype)
@@ -261,20 +254,13 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
         r = _wrap1(svals - cb[:, None], L) / hd
         return kernel.phi(loc[None, None, :] - r[:, :, None])
 
-    def window_weights(svals, centers, t_c, L, hd, ntd):
-        return jnp.concatenate(
-            [block_weights(svals, centers, t_c, L, hd, ntd, dt)
-             for dt in (-1, 0, 1)],
-            axis=-1,
-        )  # [Ct, cap, 24]
-
-    def make_chunk_fn(dx):
+    def make_chunk_fn(dx, dy, dz):
         def do_chunk(args):
             b_c, w_c, tx_c, ty_c, tz_c = args
             pid = b_c[:, :, 3]
             wx = block_weights(b_c[:, :, 0], cx_, tx_c, Ls[0], h[0], nt[0], dx)
-            wy = window_weights(b_c[:, :, 1], cy_, ty_c, Ls[1], h[1], nt[1])
-            wz = window_weights(b_c[:, :, 2], cz_, tz_c, Ls[2], h[2], nt[2])
+            wy = block_weights(b_c[:, :, 1], cy_, ty_c, Ls[1], h[1], nt[1], dy)
+            wz = block_weights(b_c[:, :, 2], cz_, tz_c, Ls[2], h[2], nt[2], dz)
             t1 = jnp.einsum("tpz,txyzc->tpxyc", wz, w_c)
             t2 = jnp.einsum("tpy,tpxyc->tpxc", wy, t1)
             out = jnp.einsum("tpx,tpxc->tpc", wx, t2)
@@ -299,21 +285,23 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
     outs = None
     pids = None
     for dx in (-1, 0, 1):
-        w_roll = jnp.roll(
-            win_yz.reshape(nt[0], nt[1] * nt[2], *win_yz.shape[1:]),
-            -dx, axis=0,
-        ).reshape(ntiles, *win_yz.shape[1:])
-        if pad_t:
-            w_roll = jnp.concatenate(
-                [w_roll, jnp.zeros((pad_t,) + w_roll.shape[1:], dtype)]
-            )
-        o, p = jax.lax.map(
-            make_chunk_fn(dx),
-            (bins_c, w_roll.reshape(-1, chunk, *w_roll.shape[1:]),
-             txc, tyc, tzc),
-        )
-        outs = o if outs is None else outs + o
-        pids = p
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                w_roll = jnp.roll(ft, (-dx, -dy, -dz), axis=(0, 1, 2))
+                w_roll = w_roll.reshape(ntiles, TILE, TILE, TILE, C)
+                if pad_t:
+                    w_roll = jnp.concatenate(
+                        [w_roll,
+                         jnp.zeros((pad_t,) + w_roll.shape[1:], dtype)]
+                    )
+                o, p = jax.lax.map(
+                    make_chunk_fn(dx, dy, dz),
+                    (bins_c,
+                     w_roll.reshape(-1, chunk, *w_roll.shape[1:]),
+                     txc, tyc, tzc),
+                )
+                outs = o if outs is None else outs + o
+                pids = p
     outs = outs.reshape(-1, C)
     pids = pids.reshape(-1)
     # un-bin: slot-sort by pid (empties carry pid 0 -> sort first, sliced off)
