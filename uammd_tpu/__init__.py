@@ -15,7 +15,13 @@ from .core.types import Computables, ForceEnergyVirial, default_real
 
 __version__ = "0.1.0"
 
+# convenience subpackage aliases (heavy modules stay lazy via their paths)
+from . import core, electrostatics, engine, integrators, interactors  # noqa: E402
+from . import neighbors, parallel, potentials, solvers, utils  # noqa: E402
+
 __all__ = [
+    "core", "electrostatics", "engine", "integrators", "interactors",
+    "neighbors", "parallel", "potentials", "solvers", "utils",
     "Box",
     "box",
     "Grid",
