@@ -71,9 +71,6 @@ def lj_e(epsilon=1.0, sigma=1.0, shift_rc=None):
     return e
 
 
-_SCAN_CACHE: dict = {}
-
-
 @dataclasses.dataclass(frozen=True)
 class GridMD:
     """Bound engine: spec + compiled force kernel + integrator params."""
@@ -168,8 +165,14 @@ class GridMD:
         )
 
     def _scan_fn(self, n_steps: int, nve: bool):
+        # Cache lives on the instance (not a module dict keyed by id(self)):
+        # ties the compiled scans' lifetime to the object and cannot alias
+        # a recycled id after GC.
         key = (n_steps, nve)
-        cache = _SCAN_CACHE.setdefault(id(self), {})
+        cache = self.__dict__.get("_scan_cache")
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_scan_cache", cache)
         if key not in cache:
             step = self.step_nve if nve else self.step
 

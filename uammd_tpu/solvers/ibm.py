@@ -172,32 +172,44 @@ def interpolate(kernel, pos, field, box: Box):
     return out[:, 0] if squeeze else out
 
 
+def _poison(x, overflow):
+    """NaN-poison on tile-bin overflow: a dropped contribution is silent
+    wrong physics; a NaN trips every downstream check loudly (the engine's
+    latched-flag idiom, adapted for callers that only take the array)."""
+    return x * jnp.where(overflow, jnp.asarray(jnp.nan, x.dtype),
+                         jnp.asarray(1.0, x.dtype))
+
+
 def spread_auto(kernel, pos, values, shape, box: Box, *, threshold=4096,
                 cap=None):
     """Dispatch: tiled scatter-free path for large N (see tiled_ibm.py),
-    direct scatter otherwise. Returns just the field (tiled overflow is
-    guarded by a generous capacity; pass ``cap`` for unusual densities)."""
-    from .tiled_ibm import TILE, _tile_counts, spread_tiled
+    direct scatter otherwise.  Falls back to the direct path when the grid
+    shape's trailing partial tiles are too narrow for the kernel support
+    (wrap contributions would be dropped — see tiled_ibm.tile_shape_ok).
+    A tile-capacity overflow NaN-poisons the result rather than silently
+    dropping particles; pass ``cap`` for unusually clustered densities."""
+    from .tiled_ibm import TILE, spread_tiled, tile_shape_ok
 
     if (
         pos.shape[0] >= threshold
         and kernel.support <= TILE
-        and min(_tile_counts(shape)) >= 3
+        and tile_shape_ok(shape, kernel.support)
     ):
-        field, _ = spread_tiled(kernel, pos, values, shape, box, cap=cap)
-        return field
+        field, overflow = spread_tiled(kernel, pos, values, shape, box,
+                                       cap=cap)
+        return _poison(field, overflow)
     return spread(kernel, pos, values, shape, box)
 
 
 def interpolate_auto(kernel, pos, field, box: Box, *, threshold=4096,
                      cap=None):
-    from .tiled_ibm import TILE, _tile_counts, interpolate_tiled
+    from .tiled_ibm import TILE, interpolate_tiled, tile_shape_ok
 
     if (
         pos.shape[0] >= threshold
         and kernel.support <= TILE
-        and min(_tile_counts(field.shape[:3])) >= 3
+        and tile_shape_ok(field.shape[:3], kernel.support)
     ):
-        out, _ = interpolate_tiled(kernel, pos, field, box, cap=cap)
-        return out
+        out, overflow = interpolate_tiled(kernel, pos, field, box, cap=cap)
+        return _poison(out, overflow)
     return interpolate(kernel, pos, field, box)

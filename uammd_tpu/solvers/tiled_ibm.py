@@ -40,8 +40,30 @@ def _tile_counts(shape):
     return tuple((s + TILE - 1) // TILE for s in shape)
 
 
-def _bin_by_tile(pos, values, shape, box: Box, cap: int):
-    """-> sources [ntiles, cap, 3 + C] (xyz then values), tile-major order.
+def tile_shape_ok(shape, support) -> bool:
+    """True iff the 27-tile pull neighborhood reaches every wrap image.
+
+    When an axis is not a multiple of TILE, the trailing tile is partial
+    (w = shape % TILE real points).  A particle at the end of tile nt-2
+    reaches wrapped points up to index ceil(support/2) - 1 past the domain
+    end; those land in tile 0, which is NOT in tile nt-2's roll
+    neighborhood, silently dropping the contribution.  Safe iff the partial
+    tile is wide enough to absorb the reach: w == 0 or w >= ceil(support/2)
+    per axis (and nt >= 3 so the 27 rolls are distinct tiles).
+    """
+    half = (support + 1) // 2
+    for s in shape:
+        w = s % TILE
+        if w != 0 and w < half:
+            return False
+    return min(_tile_counts(shape)) >= 3
+
+
+def _bin_by_tile(pos, values, shape, box: Box, cap: int, *, with_pid=False):
+    """-> sources [ntiles, cap, 3 + C] (xyz then values), tile-major order
+    (plus an int32 pid bin [ntiles, cap], 1-based with 0 = empty, when
+    ``with_pid``; kept as a separate integer sort column so ids stay exact
+    for N > 2^24 where float32 packing would corrupt them).
 
     Two variadic sorts with one filler per slot (see engine/layout.py for
     the algorithm discussion); empties get EMPTY positions and zero values.
@@ -69,6 +91,12 @@ def _bin_by_tile(pos, values, shape, box: Box, cap: int):
     stream = (key2,) + tuple(
         pad(c, EMPTY if i < 3 else 0.0) for i, c in enumerate(cols)
     )
+    if with_pid:
+        pid_col = jnp.concatenate(
+            [jnp.arange(1, n + 1, dtype=jnp.int32),
+             jnp.zeros((ntiles * cap,), jnp.int32)]
+        )
+        stream = stream + (pid_col,)
     s = jax.lax.sort(stream, dimension=0, num_keys=1)
     cell = s[0] >> 1
     m = n + ntiles * cap
@@ -80,8 +108,11 @@ def _bin_by_tile(pos, values, shape, box: Box, cap: int):
     slot = jnp.where(kept, cell * cap + rank, m + idx)
     s2 = jax.lax.sort((slot,) + s[1:], dimension=0, num_keys=1)
     T = ntiles * cap
-    out = jnp.stack([c[:T] for c in s2[1:]], axis=-1)  # [T, 3+C]
-    return out.reshape(ntiles, cap, ncol), overflow
+    out = jnp.stack([c[:T] for c in s2[1:1 + ncol]], axis=-1)  # [T, 3+C]
+    out = out.reshape(ntiles, cap, ncol)
+    if with_pid:
+        return out, s2[1 + ncol][:T].reshape(ntiles, cap), overflow
+    return out, overflow
 
 
 def _tile_centers(shape, Ls, dtype):
@@ -129,16 +160,24 @@ def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
     """S: values [N] or [N, C] -> field [nx, ny, nz(, C)]. Same semantics as
     solvers.ibm.spread (1/dV density normalization)."""
     assert kernel.support <= TILE, "kernel support must fit one tile"
+    assert tile_shape_ok(shape, kernel.support), (
+        f"grid shape {tuple(shape)} has a partial trailing tile narrower "
+        f"than the kernel half-support (support {kernel.support}); wrap "
+        "contributions would be dropped — use ibm.spread/spread_auto"
+    )
     squeeze = values.ndim == 1
     if squeeze:
         values = values[:, None]
     C = values.shape[1]
     nt = _tile_counts(shape)
-    assert min(nt) >= 3, "tiled path needs >= 24 grid points per axis"
     ntiles = nt[0] * nt[1] * nt[2]
     n = pos.shape[0]
     if cap is None:
-        cap = max(4, int(math.ceil(n / ntiles * 2.0)) + 4)
+        # size from FULL-tile volume (TILE^3 grid cells), not n/ntiles:
+        # partial trailing tiles shrink the average but not the interior
+        # tiles' actual occupancy
+        full_tile_frac = TILE**3 / float(shape[0] * shape[1] * shape[2])
+        cap = max(4, int(math.ceil(n * full_tile_frac * 2.0)) + 4)
     dtype = values.dtype
     Ls = box.size.astype(dtype)
     h = [Ls[d] / shape[d] for d in range(3)]
@@ -223,19 +262,29 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
         field = field[..., None]
     C = field.shape[-1]
     shape = field.shape[:3]
+    assert tile_shape_ok(shape, kernel.support), (
+        f"grid shape {tuple(shape)} has a partial trailing tile narrower "
+        f"than the kernel half-support (support {kernel.support}); wrap "
+        "contributions would be dropped — use ibm.interpolate/_auto"
+    )
     nt = _tile_counts(shape)
-    assert min(nt) >= 3, "tiled path needs >= 24 grid points per axis"
     ntiles = nt[0] * nt[1] * nt[2]
     n = pos.shape[0]
     if cap is None:
-        cap = max(4, int(math.ceil(n / ntiles * 2.0)) + 4)
+        # size from FULL-tile volume (TILE^3 grid cells), not n/ntiles:
+        # partial trailing tiles shrink the average but not the interior
+        # tiles' actual occupancy
+        full_tile_frac = TILE**3 / float(shape[0] * shape[1] * shape[2])
+        cap = max(4, int(math.ceil(n * full_tile_frac * 2.0)) + 4)
     dtype = field.dtype
     Ls = box.size.astype(dtype)
     h = [Ls[d] / shape[d] for d in range(3)]
 
-    # bin particles WITH their index so results can be unbinned
-    idx_val = jnp.arange(n, dtype=dtype)[:, None] + 1.0  # pid+1 as float
-    bins, overflow = _bin_by_tile(pos, idx_val, shape, box, cap)
+    # bin particles WITH their index (separate int32 column — exact for any
+    # N, unlike float packing) so results can be unbinned
+    bins, pid_bins, overflow = _bin_by_tile(
+        pos, jnp.zeros((n, 0), dtype), shape, box, cap, with_pid=True
+    )
     # 27 per-offset passes: each contracts the particles' separable weights
     # against ONE rolled copy of the tiled field (memory stays ~2x the
     # field; materializing the 24^3 windows would cost 27x).
@@ -257,14 +306,13 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
     def make_chunk_fn(dx, dy, dz):
         def do_chunk(args):
             b_c, w_c, tx_c, ty_c, tz_c = args
-            pid = b_c[:, :, 3]
             wx = block_weights(b_c[:, :, 0], cx_, tx_c, Ls[0], h[0], nt[0], dx)
             wy = block_weights(b_c[:, :, 1], cy_, ty_c, Ls[1], h[1], nt[1], dy)
             wz = block_weights(b_c[:, :, 2], cz_, tz_c, Ls[2], h[2], nt[2], dz)
             t1 = jnp.einsum("tpz,txyzc->tpxyc", wz, w_c)
             t2 = jnp.einsum("tpy,tpxyc->tpxc", wy, t1)
             out = jnp.einsum("tpx,tpxc->tpc", wx, t2)
-            return out, pid
+            return out
 
         return do_chunk
 
@@ -283,7 +331,6 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
     bins_c = bins_p.reshape(-1, chunk, *bins.shape[1:])
 
     outs = None
-    pids = None
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
@@ -294,17 +341,16 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
                         [w_roll,
                          jnp.zeros((pad_t,) + w_roll.shape[1:], dtype)]
                     )
-                o, p = jax.lax.map(
+                o = jax.lax.map(
                     make_chunk_fn(dx, dy, dz),
                     (bins_c,
                      w_roll.reshape(-1, chunk, *w_roll.shape[1:]),
                      txc, tyc, tzc),
                 )
                 outs = o if outs is None else outs + o
-                pids = p
-    outs = outs.reshape(-1, C)
-    pids = pids.reshape(-1)
-    # un-bin: slot-sort by pid (empties carry pid 0 -> sort first, sliced off)
+    outs = outs.reshape(-1, C)[: ntiles * cap]  # drop chunk-padding tiles
+    pids = pid_bins.reshape(-1)
+    # un-bin: sort by int pid (empties carry pid 0 -> sort first, sliced off)
     order = jax.lax.sort(
         (pids,) + tuple(outs[:, c] for c in range(C)), dimension=0, num_keys=1
     )

@@ -51,34 +51,108 @@ def load(path: str, dtype=None) -> SimState:
     return SimState(key=key, **kwargs)
 
 
-def save_text(path: str, state: SimState, properties=("pos", "vel")) -> None:
-    """Reference-compatible column dump in ID order (checkpoint.h:29-46)."""
+# Reference property blocks: name -> (SimState field, column count).
+# real4 properties print 4 space-separated values per line in the reference
+# (printOverloads.h:17); Pos packs the species in .w (ParticleData.cuh:34)
+# which maps to our separate int ``type_id``; Force/Torque/AngVel are real4
+# with an unused .w that we pad with zeros on write and drop on read.
+_REF_PROPS = {
+    "Pos": ("pos", 4),
+    "Mass": ("mass", 1),
+    "Force": ("force", 4),
+    "Virial": ("virial", 1),
+    "Energy": ("energy", 1),
+    "Vel": ("vel", 3),
+    "Radius": ("radius", 1),
+    "Charge": ("charge", 1),
+    "Torque": ("torque", 4),
+    "AngVel": ("ang_vel", 4),
+    "Dir": ("dir", 4),
+}
+_REF_VERSION = "3.0.0"  # reference: global/defines.h UAMMD_VERSION
+
+
+def save_text(path: str, state: SimState, properties=None) -> None:
+    """Reference-compatible dump (checkpoint.h:29-46 saveParticleData):
+
+        # version 3.0.0
+        # <N>
+        # Pos
+        x y z type      (one line per particle, ID order)
+        # Vel
+        ...
+
+    one ``# <PropName>`` block per allocated property, values in ID order,
+    real4 properties as 4 columns.  ``properties`` optionally restricts
+    which reference property names are written.
+    """
     order = np.argsort(np.asarray(jax.device_get(state.get_id())))
-    cols = []
-    names = []
-    for p in properties:
-        v = getattr(state, p, None)
+    n = len(order)
+    lines = [f"# version {_REF_VERSION}", f"# {n}"]
+    for ref_name, (field, width) in _REF_PROPS.items():
+        if properties is not None and ref_name not in properties:
+            continue
+        v = getattr(state, field, None)
         if v is None:
             continue
-        arr = np.asarray(jax.device_get(v))[order]
-        cols.append(arr.reshape(len(order), -1))
-        names.append(p)
-    data = np.concatenate(cols, axis=1)
-    header = f"uammd_tpu checkpoint v{FORMAT_VERSION}: " + " ".join(names)
-    np.savetxt(path, data, header=header)
+        arr = np.asarray(jax.device_get(v)).reshape(n, -1)[order]
+        if ref_name == "Pos":
+            t = np.asarray(jax.device_get(state.get_type()))[order]
+            arr = np.concatenate([arr[:, :3], t[:, None].astype(arr.dtype)], 1)
+        elif arr.shape[1] < width:  # pad real4's unused .w
+            arr = np.concatenate(
+                [arr, np.zeros((n, width - arr.shape[1]), arr.dtype)], 1
+            )
+        lines.append(f"# {ref_name}")
+        lines.extend(" ".join(repr(float(x)) for x in row) for row in arr)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
-def load_text(path: str, properties=("pos", "vel"), seed=0) -> SimState:
+def load_text(path: str, seed=0, dtype=None) -> SimState:
+    """Parse the reference's per-property block format (checkpoint.h:48-78
+    restoreParticleData). Unknown property blocks are skipped with the same
+    leniency as the reference (it only warns on version mismatch)."""
     from ..core.state import make_state
 
-    data = np.loadtxt(path)
-    widths = {"pos": 3, "vel": 3, "force": 3, "mass": 1, "radius": 1,
-              "charge": 1}
-    out = {}
-    c = 0
-    for p in properties:
-        w = widths.get(p, 1)
-        out[p] = data[:, c:c + w].squeeze() if w == 1 else data[:, c:c + w]
-        c += w
-    pos = out.pop("pos")
-    return make_state(pos, seed=seed, **out)
+    with open(path) as f:
+        tokens = f.read().split("\n")
+    head = tokens[0].split()
+    assert head[:2] == ["#", "version"], f"not a checkpoint file: {tokens[0]}"
+    n = int(tokens[1].lstrip("# "))
+    blocks = {}
+    i = 2
+    while i < len(tokens):
+        line = tokens[i].strip()
+        i += 1
+        if not line.startswith("#"):
+            continue
+        name = line.lstrip("# ").strip()
+        rows = []
+        while i < len(tokens) and rows.__len__() < n:
+            s = tokens[i].strip()
+            if s:
+                rows.append([float(x) for x in s.split()])
+            i += 1
+        if len(rows) == n:
+            blocks[name] = np.asarray(rows)
+    kwargs = {}
+    extra = {}
+    for ref_name, arr in blocks.items():
+        if ref_name not in _REF_PROPS:
+            continue
+        field, _ = _REF_PROPS[ref_name]
+        if ref_name == "Pos":
+            kwargs["pos"] = arr[:, :3]
+            kwargs["type_id"] = arr[:, 3].astype(np.int32)
+        elif ref_name in ("Force", "Torque", "AngVel"):
+            extra[field] = arr[:, :3]  # drop the real4 pad
+        elif field in ("vel", "mass", "radius", "charge", "dir"):
+            kwargs[field] = arr.squeeze() if arr.shape[1] == 1 else arr
+        else:
+            extra[field] = arr.squeeze() if arr.shape[1] == 1 else arr
+    pos = kwargs.pop("pos")
+    st = make_state(pos, seed=seed, dtype=dtype, **kwargs)
+    for field, arr in extra.items():
+        st = st.replace(**{field: jnp.asarray(arr, st.dtype)})
+    return st
