@@ -72,21 +72,34 @@ class Grid:
         return frac * self.box.size.astype(dtype)
 
 
-def next_fft_size(n: int, prefer_pow2: bool = False) -> int:
+def next_fft_size(
+    n: int, prefer_pow2: bool = False, tile_safe_support: int | None = None
+) -> int:
     """Smallest m >= n with only factors {2,3,5,7} (reference: Grid.cuh:142).
 
     With ``prefer_pow2``, returns the next power of two instead (TPU FFTs are
-    fastest on powers of two).
+    fastest on powers of two). ``tile_safe_support`` additionally requires
+    the size to be safe for the tiled spread/interpolate path with the given
+    kernel support (solvers/tiled_ibm.tile_shape_ok: m % 8 == 0 or
+    m % 8 >= ceil(support/2)) so large-N spectral solvers stay on the fast
+    scatter-free path.
     """
+    def tile_ok(m):
+        if tile_safe_support is None:
+            return True
+        w = m % 8
+        return w == 0 or w >= (tile_safe_support + 1) // 2
+
     if prefer_pow2:
-        return 1 << max(0, (n - 1)).bit_length()
+        m = 1 << max(0, (n - 1)).bit_length()
+        return m  # powers of two >= 8 are always tile-safe
     m = max(1, n)
     while True:
         k = m
         for p in (2, 3, 5, 7):
             while k % p == 0:
                 k //= p
-        if k == 1:
+        if k == 1 and tile_ok(m):
             return m
         m += 1
 

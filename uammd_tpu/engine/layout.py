@@ -194,11 +194,13 @@ def _cell_key(spec: GridSpec, x, y, z, valid):
     return jnp.where(valid, key, spec.n_cells)
 
 
-def _bin_columns(spec: GridSpec, key, cols, n: int):
+def _bin_columns(spec: GridSpec, key, cols, n: int, fills=None):
     """Core two-sort binning: place entries with cell ``key`` into the padded
     grid. ``cols`` = tuple of payload columns (float32/int32, 1-D, same length
-    as key). Returns (binned_cols, overflow) with each binned col shaped
-    [nz, nyb, CAP, NLANE]."""
+    as key). ``fills`` optionally overrides the empty-slot fill value per
+    column (default: -1 for ints, EMPTY_POS for floats — payload channels
+    like forces should pass 0.0). Returns (binned_cols, overflow) with each
+    binned col shaped [nz, nyb, CAP, NLANE]."""
     nz_, nyb, cap, nlane = spec.array_shape
     T = spec.n_slots
     ncell = nz_ * nyb * nlane  # memory cells
@@ -208,15 +210,19 @@ def _bin_columns(spec: GridSpec, key, cols, n: int):
     filler_cell = jnp.repeat(jnp.arange(ncell, dtype=jnp.int32), cap)
     key2 = jnp.concatenate([key * 2, filler_cell * 2 + 1])
 
-    def pad_col(c):
-        fill = jnp.full(
-            (T,),
-            -1 if jnp.issubdtype(c.dtype, jnp.integer) else EMPTY_POS,
-            c.dtype,
-        )
+    def pad_col(c, fill_value):
+        if fill_value is None:
+            fill_value = (
+                -1 if jnp.issubdtype(c.dtype, jnp.integer) else EMPTY_POS
+            )
+        fill = jnp.full((T,), fill_value, c.dtype)
         return jnp.concatenate([c, fill])
 
-    stream = (key2,) + tuple(pad_col(c) for c in cols)
+    if fills is None:
+        fills = (None,) * len(cols)
+    stream = (key2,) + tuple(
+        pad_col(c, f) for c, f in zip(cols, fills)
+    )
     s = jax.lax.sort(stream, dimension=0, num_keys=1)
     skey2 = s[0]
     cell = skey2 >> 1
@@ -268,6 +274,67 @@ def pack(
         pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
         key=key, overflow=ovf,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ChannelGrid:
+    """Cell-resident positions + payload channels (no integrator state):
+    the layout used by grid-resident solvers (PSE near field, SPH, DPD)
+    where per-particle payloads ride along with the coordinates."""
+
+    spec: GridSpec = dataclasses.field(metadata={"static": True})
+    n: int = dataclasses.field(metadata={"static": True})
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    channels: tuple  # of [nz, nyb, CAP, NLANE] arrays (zero on empties)
+    pid: jax.Array  # int32, -1 = empty
+    overflow: jax.Array
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.pid >= 0
+
+    def replace(self, **kw) -> "ChannelGrid":
+        return dataclasses.replace(self, **kw)
+
+
+def pack_channels(spec: GridSpec, pos, channels) -> ChannelGrid:
+    """Bin [N, 3] positions plus a [N, C] channel payload into the grid.
+    Channel empties fill with 0 (so payload-linear kernels see exact zeros
+    from empty slots)."""
+    pos = jnp.asarray(pos, jnp.float32)
+    n = pos.shape[0]
+    channels = jnp.asarray(channels, jnp.float32)
+    if channels.ndim == 1:
+        channels = channels[:, None]
+    C = channels.shape[1]
+    Ls = spec.box_size
+    x = pos[:, 0] - Ls[0] * jnp.round(pos[:, 0] / Ls[0])
+    y = pos[:, 1] - Ls[1] * jnp.round(pos[:, 1] / Ls[1])
+    z = pos[:, 2] - Ls[2] * jnp.round(pos[:, 2] / Ls[2])
+    pid = jnp.arange(n, dtype=jnp.int32)
+    ck = _cell_key(spec, x, y, z, jnp.ones((n,), bool))
+    cols = (x, y, z) + tuple(channels[:, c] for c in range(C)) + (pid,)
+    fills = (None, None, None) + (0.0,) * C + (None,)
+    binned, ovf = _bin_columns(spec, ck, cols, n, fills=fills)
+    return ChannelGrid(
+        spec=spec, n=n,
+        x=binned[0], y=binned[1], z=binned[2],
+        channels=tuple(binned[3:3 + C]),
+        pid=binned[3 + C], overflow=ovf,
+    )
+
+
+def unpack_values(cg: ChannelGrid, values) -> jax.Array:
+    """Slot-space values (tuple of [nz, nyb, CAP, NLANE]) -> [N, len(values)]
+    in canonical pid order (sort-based, no gathers)."""
+    valid = cg.pid >= 0
+    pid = jnp.where(valid, cg.pid, cg.n).reshape(-1)
+    cols = tuple(jnp.asarray(v).reshape(-1) for v in values)
+    s = jax.lax.sort((pid,) + cols, dimension=0, num_keys=1)
+    return jnp.stack([c[: cg.n] for c in s[1:]], axis=-1)
 
 
 def rebin(gs: GridState) -> GridState:

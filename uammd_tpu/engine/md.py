@@ -44,14 +44,19 @@ def maybe_rebin_noforce(gs: GridState) -> GridState:
 
 
 def lj_g(epsilon=1.0, sigma=1.0):
-    """(dE/dr)/r for 12-6 LJ (see potentials/radial.py for the convention)."""
+    """(dE/dr)/r for 12-6 LJ (see potentials/radial.py for the convention).
+
+    Written with a single reciprocal (t = 1/r2) so the VPU pays one division
+    per pair slot instead of two; finite in f32 down to r2 ~ 2e-3 (the
+    kernel's clamp floor keeps it there for degenerate slots)."""
     eps = np.float32(epsilon)
     s2 = np.float32(sigma * sigma)
 
     def g(r2):
-        inv2 = s2 / r2
+        t = np.float32(1.0) / r2
+        inv2 = s2 * t
         inv6 = inv2 * inv2 * inv2
-        return (np.float32(-24.0) * eps / r2) * (2.0 * inv6 * inv6 - inv6)
+        return (np.float32(-24.0) * eps) * t * (2.0 * inv6 * inv6 - inv6)
 
     return g
 
@@ -83,7 +88,11 @@ class GridMD:
     mass: float
 
     def init(self, pos, seed=0) -> GridState:
-        gs = pack(self.spec, pos, key=jax.random.key(seed))
+        # rbg keys: XLA's native RngBitGenerator is several times faster
+        # than threefry for the 3 x [slots] noise fields drawn every step
+        # (the reference analogously uses curand/saru counter RNGs on the
+        # hot path rather than a cryptographic generator).
+        gs = pack(self.spec, pos, key=jax.random.key(seed, impl="rbg"))
         if self.temperature > 0:
             k1, k2 = jax.random.split(gs.key)
             sd = float(np.sqrt(self.temperature / self.mass))

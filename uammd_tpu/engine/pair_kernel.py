@@ -86,6 +86,7 @@ def make_pair_force_kernel(
     compute_virial: bool = False,
     interpret: bool | None = None,
     periodic_z: bool = True,
+    clamp_lo: float = 4e-3,
 ):
     """Build force(x, y, z) -> (fx, fy, fz[, energy][, virial]).
 
@@ -100,6 +101,7 @@ def make_pair_force_kernel(
     nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
     Ly, Lz = spec.box_size[1], spec.box_size[2]
     rc2 = np.float32(spec.cutoff * spec.cutoff)
+    clamp_lo = np.float32(clamp_lo)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -174,6 +176,20 @@ def make_pair_force_kernel(
                     dyv = cy[None, :, :] - yi_
                     dzv = cz[None, :, :] - zi_
                     r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                    if e_fn is None and not compute_virial:
+                        # Force-only fast mask: clamp instead of select.
+                        # Self/degenerate slots (r2 = 0, dxv = 0) produce a
+                        # finite g times an exactly-zero displacement; empty
+                        # slots sit at EMPTY_POS so r2 ~ 1e18 fails the
+                        # cutoff. One compare + one max instead of two
+                        # compares + and + two selects per pair slot.
+                        # Requires g_fn finite in f32 at r2 = clamp_lo.
+                        r2s = jnp.maximum(r2, clamp_lo)
+                        g = jnp.where(r2 < rc2, g_fn(r2s), 0.0)
+                        fx = fx + jnp.sum(g * dxv, axis=1)
+                        fy = fy + jnp.sum(g * dyv, axis=1)
+                        fz = fz + jnp.sum(g * dzv, axis=1)
+                        continue
                     inside = (r2 < rc2) & (r2 > 1e-10)
                     r2s = jnp.where(inside, r2, 1.0)
                     g = jnp.where(inside, g_fn(r2s), 0.0)
@@ -246,3 +262,156 @@ def make_pair_force_kernel(
 
 def _nbr_index(z, yb, *, dz, dyb, nz, nyb):
     return ((z + dz) % nz, (yb + dyb) % nyb, 0, 0)
+
+
+def make_pair_channel_kernel(
+    spec: GridSpec,
+    pair_fn: Callable,
+    n_chan: int,
+    n_out: int,
+    *,
+    interpret: bool | None = None,
+    periodic_z: bool = True,
+):
+    """General transverser on the grid-resident layout with per-particle
+    payload channels (the reference's ``getInfo`` path — reference:
+    src/utils/TransverserUtils.cuh:140-200 Delegator; used by DPD, SPH and
+    the PSE near field, NearField.cuh).
+
+    ``pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j) -> (out_0, ..., out_{n_out-1})``
+    receives, per candidate block, the squared distance [cap_i, cap_j, nlane],
+    the displacement components (r_j - r_i), the home channels ``ch_i``
+    (each [cap_i, 1, nlane]) and candidate channels ``ch_j`` (each
+    [1, cap_j, nlane]); it returns per-pair contributions that the kernel
+    sums over the candidate axis into [cap, nlane] outputs.
+
+    Must be self-safe: the home block appears among its own candidates, so
+    pair_fn sees the exact self pair (r2 == 0, dxv = dyv = dzv = 0) and
+    coincident empty sentinels; handle via clamping + the rc2 test (empty
+    slots sit at layout.EMPTY_POS and fail any physical cutoff; empty
+    channels are zero-filled by layout.pack_channels).
+
+    force(x, y, z, *channels) -> tuple of n_out [nz, nyb, CAP, NLANE].
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    Ly, Lz = spec.box_size[1], spec.box_size[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
+    n_arr = 3 + n_chan  # coordinate + channel arrays
+
+    def kernel(*refs):
+        ins = refs[: 9 * n_arr]
+        outs = refs[9 * n_arr:]
+        zpid = pl.program_id(0)
+        ypid = pl.program_id(1)
+        consts = _lane_constants(spec)
+
+        blocks = {}
+        for k, (dz, dyb) in enumerate(offsets):
+            arrs = [ins[a * 9 + k][0, 0, :, :] for a in range(n_arr)]
+            if dyb == 1:
+                arrs[1] = arrs[1] + jnp.where(ypid == nyb - 1, np.float32(Ly), 0.0)
+            elif dyb == -1:
+                arrs[1] = arrs[1] + jnp.where(ypid == 0, np.float32(-Ly), 0.0)
+            if periodic_z:
+                if dz == 1:
+                    arrs[2] = arrs[2] + jnp.where(zpid == nz - 1, np.float32(Lz), 0.0)
+                elif dz == -1:
+                    arrs[2] = arrs[2] + jnp.where(zpid == 0, np.float32(-Lz), 0.0)
+            blocks[(dz, dyb)] = arrs
+
+        home = blocks[(0, 0)]
+        xi_ = home[0][:, None, :]
+        yi_ = home[1][:, None, :]
+        zi_ = home[2][:, None, :]
+        ch_i = [home[3 + c][:, None, :] for c in range(n_chan)]
+
+        accs = [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_out)]
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                infold = consts[("infold", dy)]
+                sgn = 0 if dy == 0 else (1 if dy > 0 else -1)
+                src_self = blocks[(dz, 0)]
+                src_nbr = blocks[(dz, sgn)] if sgn != 0 else src_self
+                for dx in (-1, 0, 1):
+                    s_in = dx * F + dy
+                    s_out = s_in - sgn * F
+                    if sgn != 0:
+                        cand = [
+                            jnp.where(
+                                infold,
+                                _shift_lanes(src_self[a], s_in, interpret),
+                                _shift_lanes(src_nbr[a], s_out, interpret),
+                            )
+                            for a in range(n_arr)
+                        ]
+                    else:
+                        cand = [
+                            _shift_lanes(src_self[a], s_in, interpret)
+                            for a in range(n_arr)
+                        ]
+                    cx = cand[0]
+                    if consts[("xshift", dx)] is not None:
+                        cx = cx + consts[("xshift", dx)]
+                    dxv = cx[None, :, :] - xi_
+                    dyv = cand[1][None, :, :] - yi_
+                    dzv = cand[2][None, :, :] - zi_
+                    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                    ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
+                    contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+                    for o in range(n_out):
+                        accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+
+        for o in range(n_out):
+            outs[o][0, 0, :, :] = accs[o]
+
+    def block_spec(dz, dyb):
+        return pl.BlockSpec(
+            (1, 1, cap, nlane),
+            functools.partial(_nbr_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        block_spec(dz, dyb) for _ in range(n_arr) for (dz, dyb) in offsets
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, cap, nlane),
+        lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+    ] * n_out
+
+    bytes_per_block = cap * nlane * 4
+    cost = pl.CostEstimate(
+        flops=nz * nyb * 27 * cap * cap * nlane * (20 + 6 * n_chan),
+        bytes_accessed=nz * nyb * (27 * n_arr + n_out) * bytes_per_block,
+        transcendentals=0,
+    )
+
+    @jax.jit
+    def apply(x, y, z, *channels):
+        assert len(channels) == n_chan
+        arrs = [x, y, z, *channels]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=[out_spec] * n_out,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*(arrs[i // 9] for i in range(9 * n_arr)))
+        return outs
+
+    return apply

@@ -60,22 +60,51 @@ class FCM:
     shape: tuple = ()
     support: int = 12
     box_size: tuple = ()
+    # RPY surface-sphere wave-space factor sinc^2(k a) (reference:
+    # PSE/FarField.cuh:82-115); None = plain Gaussian blob (classic FCM).
+    rpy_sinc_radius: float | None = None
+    # Hasimoto splitting compensation (1 + hasimoto_k2 * k^2): cancels the
+    # spread/interp Gaussians' second moment so the Ewald remainder decays
+    # exponentially (reference: FarField.cuh hashimoto factor,
+    # (1 + k^2/4 xi^2) exp(-k^2/4 xi^2)); use hasimoto_k2 = sigma_split^2.
+    hasimoto_k2: float | None = None
 
     @staticmethod
     def create(box: Box, viscosity=1.0, radius=1.0, points_per_radius=3.0,
-               support=12, prefer_pow2=False):
+               support=12, prefer_pow2=False, rpy_sinc_radius=None,
+               hasimoto_k2=None):
         Ls = [float(s) for s in jax.device_get(box.size)]
         shape = tuple(
             next_fft_size(
                 max(8, int(math.ceil(L * points_per_radius / radius))),
                 prefer_pow2,
+                # keep large-N spreads on the tiled scatter-free path
+                tile_safe_support=support if support <= 8 else None,
             )
             for L in Ls
         )
         return FCM(
             box=box, viscosity=viscosity, radius=radius, shape=shape,
             support=support, box_size=tuple(Ls),
+            rpy_sinc_radius=rpy_sinc_radius, hasimoto_k2=hasimoto_k2,
         )
+
+    def _envelope2(self, kx, ky, kz):
+        """Extra wave-space factor on the MOBILITY (i.e. applied squared
+        relative to the noise filter): sinc^2(k a) * (1 + sigma_split^2 k^2).
+        Returns None when disabled (classic FCM)."""
+        if self.rpy_sinc_radius is None and self.hasimoto_k2 is None:
+            return None
+        k2 = kx * kx + ky * ky + kz * kz
+        out = 1.0
+        if self.rpy_sinc_radius is not None:
+            x = jnp.sqrt(k2) * self.rpy_sinc_radius
+            xs = jnp.where(x > 1e-8, x, 1.0)
+            sc = jnp.where(x > 1e-8, jnp.sin(xs) / xs, 1.0 - x * x / 6.0)
+            out = out * (sc * sc)
+        if self.hasimoto_k2 is not None:
+            out = out * (1.0 + self.hasimoto_k2 * k2)
+        return out
 
     @property
     def sigma(self) -> float:
@@ -86,11 +115,15 @@ class FCM:
         return GaussianKernel(sigma=self.sigma / h, support=self.support)
 
     def _project(self, fk, kx, ky, kz):
-        """(I - k^k^)/ (eta k^2) applied to the k-space force [.., 3]."""
+        """(I - k^k^)/ (eta k^2) applied to the k-space force [.., 3]
+        (x sinc^2(ka) when the RPY envelope is enabled)."""
         k2 = kx * kx + ky * ky + kz * kz
         k2s = jnp.where(k2 > 0, k2, 1.0)
         kdotf = kx * fk[..., 0] + ky * fk[..., 1] + kz * fk[..., 2]
         scale = 1.0 / (self.viscosity * k2s)
+        env2 = self._envelope2(kx, ky, kz)
+        if env2 is not None:
+            scale = scale * env2
         ux = scale * (fk[..., 0] - kx * kdotf / k2s)
         uy = scale * (fk[..., 1] - ky * kdotf / k2s)
         uz = scale * (fk[..., 2] - kz * kdotf / k2s)
@@ -155,6 +188,41 @@ class FCM:
         omega = interpolate(kern, pos, w, self.box)
         return v, omega
 
+    def compute_mf_bdw(self, pos, forces, key, noise_amp):
+        """M F + noise_amp * B^(1/2) dW in ONE spectral pass: one spread,
+        one k-space combine, one inverse transform, one interpolation — the
+        fusion the reference performs inside
+        computeHydrodynamicDisplacements (reference: FCM_impl.cuh:654-693
+        with addBrownianNoise :437 injected into the same convolution)."""
+        dtype = pos.dtype
+        kern = self._kernel(dtype)
+        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
+        kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
+        uk = self._project(fk, kx, ky, kz)
+        # sqrt(B) filtered white noise, in the same k-space pass
+        Ls = self.box_size
+        dV = float(np.prod(np.asarray(Ls)) / np.prod(self.shape))
+        w = jax.random.normal(key, tuple(self.shape) + (3,), dtype) / math.sqrt(dV)
+        wk = jnp.fft.rfftn(w, axes=(0, 1, 2))
+        k2 = kx * kx + ky * ky + kz * kz
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        kdotw = kx * wk[..., 0] + ky * wk[..., 1] + kz * wk[..., 2]
+        scale = noise_amp / jnp.sqrt(self.viscosity * k2s)
+        env2 = self._envelope2(kx, ky, kz)
+        if env2 is not None:
+            scale = scale * jnp.sqrt(env2)
+        bk = jnp.stack(
+            [
+                jnp.where(k2 == 0, 0, scale * (wk[..., 0] - kx * kdotw / k2s)),
+                jnp.where(k2 == 0, 0, scale * (wk[..., 1] - ky * kdotw / k2s)),
+                jnp.where(k2 == 0, 0, scale * (wk[..., 2] - kz * kdotw / k2s)),
+            ],
+            axis=-1,
+        )
+        u = jnp.fft.irfftn(uk + bk, s=self.shape, axes=(0, 1, 2))
+        return interpolate(kern, pos, u, self.box)
+
     def compute_bdw(self, pos, key):
         """sqrt(M) dW: filter real white noise through sqrt(B(k)) =
         (I - k^k^)/sqrt(eta) / k (projector is idempotent so its own sqrt)."""
@@ -168,6 +236,9 @@ class FCM:
         k2s = jnp.where(k2 > 0, k2, 1.0)
         kdotw = kx * wk[..., 0] + ky * wk[..., 1] + kz * wk[..., 2]
         scale = 1.0 / jnp.sqrt(self.viscosity * k2s)
+        env2 = self._envelope2(kx, ky, kz)
+        if env2 is not None:
+            scale = scale * jnp.sqrt(env2)
         bx = scale * (wk[..., 0] - kx * kdotw / k2s)
         by = scale * (wk[..., 1] - ky * kdotw / k2s)
         bz = scale * (wk[..., 2] - kz * kdotw / k2s)

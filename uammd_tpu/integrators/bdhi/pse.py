@@ -42,12 +42,25 @@ from ...solvers.lanczos import lanczos_sqrt_apply
 from .fcm import FCM
 
 
-def _blob_fg(r, sigma_c, eta, kmax_factor=12.0, nk=8192):
-    """Open-space Gaussian-blob pair mobility radial functions f(r), g(r)."""
+def _blob_fg(r, sigma_c, eta, kmax_factor=12.0, nk=8192, a=None):
+    """Open-space blob pair mobility radial functions f(r), g(r).
+
+    ``a=None``: point Gaussian envelope phi(k) = exp(-Sigma^2 k^2 / 2).
+    ``a`` set: the full PSE wave-space envelope
+        phi(k) = sinc^2(ka) (1 + Sigma^2 k^2/2) exp(-Sigma^2 k^2/2)
+    — the RPY surface-sphere factor plus the Hasimoto splitting polynomial
+    that cancels the Gaussians' second moment (reference:
+    PSE/FarField.cuh:82-115, B(k) ~ sin^2(k rh)/(k rh)^2 / k^2 x hashimoto).
+    Without both factors the near-field remainder RPY - blob carries an
+    algebraic (2a^2/3 - Sigma^2)/r^3 tail whose truncation at rcut
+    accumulates coherently over neighbours."""
     r = np.atleast_1d(np.asarray(r, np.float64))
     kmax = kmax_factor / sigma_c
     k = np.linspace(1e-8, kmax, nk)
     phi = np.exp(-0.5 * (sigma_c * k) ** 2)
+    if a is not None:
+        phi = phi * np.square(np.sinc(k * a / math.pi))
+        phi = phi * (1.0 + 0.5 * (sigma_c * k) ** 2)
     x = np.outer(r, k)  # [R, K]
     with np.errstate(invalid="ignore", divide="ignore"):
         j0 = np.where(x > 1e-8, np.sin(x) / x, 1.0 - x * x / 6.0)
@@ -112,20 +125,26 @@ class PSE:
         sigma_split = 0.5 / xi
         sigma_c = math.sqrt(2.0) * sigma_split
         # near-field cutoff: remainder decays ~ erfc(r / (2 sigma_split))
-        rcut = sigma_c * math.sqrt(2.0 * math.log(1.0 / tolerance))
+        # +radius: the surface-sphere convolutions shift the remainder's
+        # exponential decay outward by ~2a; one radius of slack keeps the
+        # truncated remainder below tolerance (measured ladder in
+        # test_pse_engine / docs/PERF.md)
+        rcut = sigma_c * math.sqrt(2.0 * math.log(1.0 / tolerance)) + radius
         rcut = max(rcut, 2.0 * radius * 1.05)
         # far-field grid resolves the split Gaussian
         h = sigma_split / points_per_width
         far = FCM.create(
             box, viscosity=viscosity, radius=sigma_split * math.sqrt(math.pi),
             points_per_radius=sigma_split * math.sqrt(math.pi) / h,
-            support=support,
+            support=support, rpy_sinc_radius=radius,
+            hasimoto_k2=sigma_split * sigma_split,
         )
-        # tables
+        # tables (blob = sinc^2(ka)-enveloped Gaussian, matching the far
+        # field's wave-space kernel so the remainder decays exponentially)
         r = np.sqrt(np.linspace(1e-12, rcut * rcut, table_size))
-        fb, gb = _blob_fg(r, sigma_c, viscosity)
+        fb, gb = _blob_fg(r, sigma_c, viscosity, a=radius)
         fr, gr = _rpy_fg(r, radius, viscosity)
-        f0b, _ = _blob_fg(np.array([0.0]), sigma_c, viscosity)
+        f0b, _ = _blob_fg(np.array([0.0]), sigma_c, viscosity, a=radius)
         m0 = 1.0 / (6.0 * math.pi * viscosity * radius)
         return PSE(
             box=box, far=far, viscosity=viscosity, radius=radius, xi=xi,

@@ -1,0 +1,268 @@
+"""Grid-resident PSE: the performance path for Ewald-split RPY at large N.
+
+Same math as pse.py (reference: src/Integrator/BDHI/PSE/BDHI_PSE.cuh:1-70,
+NearField.cuh, FarField.cuh) but the near field runs on the cell-resident
+Pallas engine instead of a gathered [N, K] neighbour list:
+
+- particles + force channels are binned into the engine's cell grid once per
+  step (layout.pack_channels, two variadic sorts, no scatters);
+- the near-field RPY remainder matvec is a single Pallas pass
+  (pair_kernel.make_pair_channel_kernel): 27 lane-rolled candidate blocks
+  per cell, v_i += f(r) F_j + g(r) (r^.F_j) r^ — the reference's
+  RPYNearTransverser (NearField.cuh:286) with the TabulatedFunction lookups
+  replaced by piecewise-polynomial evaluation in registers (deg-12 fits of
+  the Bessel-quadrature f, g; max rel. error ~1e-6, below the lerp table's —
+  a gather-free TabulatedFunction, the TPU answer to texture memory);
+- Brownian near noise: Lanczos sqrt entirely in SLOT space. The padded
+  operator is block-diagonal [M, 0] (empty slots have zero channels and
+  produce zero rows), so Krylov stays in the physical subspace and
+  sqrt(M_padded) restricted = sqrt(M) — no per-iteration unbinning;
+- the far field is FCM with support-8 Gaussians on tile-safe FFT grids
+  (always the scatter-free tiled spread path), with M F and the k-space
+  fluctuation folded into ONE spectral pass (fcm.compute_mf_bdw).
+
+Exposes the same compute_mf/compute_bdw backend contract as pse.PSE plus a
+fused ``displacement`` (used by the EM fast path and bench).
+
+Accuracy envelope: the support-8 truncated Gaussian (the widest kernel the
+tiled scatter-free spread accepts) carries ~0.5-1% far-field truncation
+error at points_per_width ~1.1 — this backend trades the reference's
+tolerance-driven support (NearField.cuh picks support from tolerance, often
+10-14) for an always-scatter-free spread. For tighter tolerances use pse.PSE
+(support 10+, direct spread) — same physics contract, slower at large N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.box import Box
+from ...engine.layout import ChannelGrid, choose_spec, pack_channels, unpack_values
+from ...engine.pair_kernel import make_pair_channel_kernel
+from ...solvers.lanczos import lanczos_sqrt_apply
+from .fcm import FCM
+from .pse import _blob_fg, _rpy_fg
+
+
+@dataclasses.dataclass(frozen=True)
+class PSEGrid:
+    """Grid-resident split-RPY backend (plugs into bdhi_euler_maruyama)."""
+
+    box: Box
+    far: FCM
+    viscosity: float
+    radius: float
+    xi: float
+    rcut: float
+    spec: object  # engine GridSpec
+    qb: float  # piecewise split r/rcut of the RPY kink
+    coef: tuple  # 4 tuples of polynomial coefficients (f1, f2, g1, g2)
+    uscale: tuple  # per-piece (a, b): u = a*q + b maps the piece to [-1, 1]
+    self_f: float
+    fit_error: float
+    lanczos_iterations: int = 12
+
+    @staticmethod
+    def create(
+        box: Box,
+        n: int,
+        viscosity=1.0,
+        radius=1.0,
+        xi: float | None = None,
+        tolerance: float = 1e-4,
+        points_per_width: float = 1.1,
+        support: int = 8,
+        deg: int = 12,
+        lanczos_iterations: int = 12,
+        cap: int | None = None,
+        prefer_pow2: bool = False,
+    ):
+        Ls = [float(s) for s in jax.device_get(box.size)]
+        if xi is None:
+            xi = 0.5 / radius
+        sigma_split = 0.5 / xi
+        sigma_c = math.sqrt(2.0) * sigma_split
+        # +radius: the surface-sphere convolutions shift the remainder's
+        # exponential decay outward by ~2a; one radius of slack keeps the
+        # truncated remainder below tolerance (measured ladder in
+        # test_pse_engine / docs/PERF.md)
+        rcut = sigma_c * math.sqrt(2.0 * math.log(1.0 / tolerance)) + radius
+        rcut = max(rcut, 2.0 * radius * 1.05)
+        far = FCM.create(
+            box, viscosity=viscosity, radius=sigma_split * math.sqrt(math.pi),
+            points_per_radius=points_per_width * math.sqrt(math.pi),
+            support=support, prefer_pow2=prefer_pow2,
+            rpy_sinc_radius=radius,
+            hasimoto_k2=sigma_split * sigma_split,
+        )
+        # engine spec: cells >= rcut (skin 1.0 — re-binned every step)
+        spec = choose_spec(Ls, n, rcut, skin=1.0, cap=cap)
+
+        # ---- piecewise polynomial fit of the near-field radial functions
+        qb = min(2.0 * radius / rcut, 1.0)
+        m0 = 1.0 / (6.0 * math.pi * viscosity * radius)
+
+        def near_fg(r):
+            fb, gb = _blob_fg(r, sigma_c, viscosity, a=radius)
+            fr, gr = _rpy_fg(r, radius, viscosity)
+            return fr - fb, gr - gb
+
+        # Fit each piece as a power series in the CENTERED variable
+        # u = (2q - hi - lo)/(hi - lo) in [-1, 1]: power coefficients of the
+        # Chebyshev fit on [-1,1] decay like the Chebyshev ones, so the
+        # in-kernel f32 Horner stays well conditioned (a raw power basis on
+        # [qb, 1] loses ~3 digits at deg 12).
+        coefs = []
+        scales = []
+        fit_err = 0.0
+        for lo, hi in ((1e-7, qb), (qb, 1.0)):
+            q = np.linspace(lo, hi, 2500)
+            u = (2.0 * q - hi - lo) / (hi - lo)
+            fv, gv = near_fg(q * rcut)
+            for y in (fv, gv):
+                ch = np.polynomial.chebyshev.Chebyshev.fit(u, y, deg,
+                                                           domain=[-1, 1])
+                p = np.polynomial.chebyshev.cheb2poly(ch.coef)
+                fit_err = max(fit_err, float(np.abs(
+                    np.polynomial.polynomial.polyval(u, p) - y
+                ).max() / m0))
+                coefs.append(tuple(float(c) for c in p))
+            scales.append((2.0 / (hi - lo), -(hi + lo) / (hi - lo)))
+        # order collected: (f1, g1, f2, g2) -> store as (f1, f2, g1, g2)
+        coef = (coefs[0], coefs[2], coefs[1], coefs[3])
+        uscale = (scales[0], scales[1])
+
+        f0b, _ = _blob_fg(np.array([0.0]), sigma_c, viscosity, a=radius)
+        return PSEGrid(
+            box=box, far=far, viscosity=viscosity, radius=radius, xi=xi,
+            rcut=float(rcut), spec=spec, qb=float(qb), coef=coef,
+            uscale=uscale,
+            self_f=float(m0 - f0b[0]), fit_error=fit_err,
+            lanczos_iterations=lanczos_iterations,
+        )
+
+    # ------------------------------------------------------------- kernels
+    def _pair_fn(self):
+        rc2 = np.float32(self.rcut * self.rcut)
+        inv_rcut = np.float32(1.0 / self.rcut)
+        qb = np.float32(self.qb)
+        cf1 = [np.float32(c) for c in self.coef[0]]
+        cf2 = [np.float32(c) for c in self.coef[1]]
+        cg1 = [np.float32(c) for c in self.coef[2]]
+        cg2 = [np.float32(c) for c in self.coef[3]]
+
+        def horner(cs, q):
+            acc = cs[-1]
+            for c in cs[-2::-1]:
+                acc = acc * q + c
+            return acc
+
+        a1, b1 = (np.float32(v) for v in self.uscale[0])
+        a2, b2 = (np.float32(v) for v in self.uscale[1])
+
+        def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
+            # exclude self (r2 == 0 exactly) and beyond-cutoff; empties sit
+            # at EMPTY_POS -> r2 huge -> outside
+            inside = (r2 < rc2) & (r2 > 1e-10)
+            r2s = jnp.where(inside, r2, 1.0)
+            rinv = jax.lax.rsqrt(r2s)
+            q = r2s * rinv * inv_rcut  # r / rcut
+            near = q < qb
+            u1 = a1 * q + b1
+            u2 = a2 * q + b2
+            f = jnp.where(near, horner(cf1, u1), horner(cf2, u2))
+            g = jnp.where(near, horner(cg1, u1), horner(cg2, u2))
+            f = jnp.where(inside, f, 0.0)
+            fx, fy, fz = ch_j
+            fdotr = fx * dxv + fy * dyv + fz * dzv
+            gc = jnp.where(inside, g * fdotr * (rinv * rinv), 0.0)
+            return (
+                f * fx + gc * dxv,
+                f * fy + gc * dyv,
+                f * fz + gc * dzv,
+            )
+
+        return pair_fn
+
+    def _kernel(self):
+        cache = self.__dict__.get("_kern_cache")
+        if cache is None:
+            cache = make_pair_channel_kernel(self.spec, self._pair_fn(), 3, 3)
+            object.__setattr__(self, "_kern_cache", cache)
+        return cache
+
+    # --------------------------------------------------------- slot space
+    def near_matvec_slots(self, cg: ChannelGrid, fx, fy, fz):
+        """M_near on slot-space vectors (fx, fy, fz [nz, nyb, CAP, NLANE])."""
+        sf = np.float32(self.self_f)
+        vx, vy, vz = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz)
+        return vx + sf * fx, vy + sf * fy, vz + sf * fz
+
+    def _near_noise_slots(self, cg: ChannelGrid, key):
+        """sqrt(M_near) dW in slot space via Lanczos (empty slots carry
+        exact zeros through: masked start vector + zero operator rows)."""
+        shape = cg.x.shape
+        mask = (cg.pid >= 0).astype(jnp.float32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        z = jnp.stack([
+            jax.random.normal(k, shape, jnp.float32) * mask
+            for k in (k1, k2, k3)
+        ])
+
+        def mv(v):
+            g = v.reshape((3,) + shape)
+            ox, oy, oz = self.near_matvec_slots(cg, g[0], g[1], g[2])
+            return jnp.stack([ox, oy, oz]).reshape(-1)
+
+        out, res = lanczos_sqrt_apply(
+            mv, z.reshape(-1), m=self.lanczos_iterations
+        )
+        o = out.reshape((3,) + shape)
+        return o[0], o[1], o[2], res
+
+    # ------------------------------------------------- [N]-order interface
+    def near_matvec(self, pos, forces):
+        cg = pack_channels(self.spec, pos, forces)
+        v = self.near_matvec_slots(cg, *cg.channels)
+        out = unpack_values(cg, v)
+        return out.astype(pos.dtype)
+
+    def compute_mf(self, pos, forces):
+        return self.far.compute_mf(pos, forces) + self.near_matvec(pos, forces)
+
+    def compute_bdw(self, pos, key):
+        k1, k2 = jax.random.split(key)
+        far_noise = self.far.compute_bdw(pos, k1)
+        cg = pack_channels(
+            self.spec, pos, jnp.zeros((pos.shape[0], 3), jnp.float32)
+        )
+        nx_, ny_, nz_, _ = self._near_noise_slots(cg, k2)
+        near = unpack_values(cg, (nx_, ny_, nz_)).astype(pos.dtype)
+        return far_noise + near
+
+    def divergence(self, pos):
+        return jnp.zeros_like(pos)
+
+    # ------------------------------------------------------ fused EM path
+    def displacement(self, pos, forces, key, dt, temperature):
+        """dt * M F + sqrt(2 kT dt) B dW with one binning pass and one far
+        spectral pass (the whole EM right-hand side; reference:
+        BDHI_EulerMaruyama.cu:145-165 fused)."""
+        amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
+        cg = pack_channels(self.spec, pos, forces)
+        vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
+        if temperature > 0:
+            k1, k2 = jax.random.split(key)
+            bx, by, bz, _ = self._near_noise_slots(cg, k2)
+            a = np.float32(amp)
+            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
+            far_v = self.far.compute_mf_bdw(pos, forces, k1, amp)
+        else:
+            far_v = self.far.compute_mf(pos, forces)
+        near = unpack_values(cg, (vx, vy, vz)).astype(pos.dtype)
+        return dt * (near + far_v), cg.overflow
