@@ -13,9 +13,16 @@ Poisson BVP
 is collocated on Chebyshev points with host-precomputed dense inverses
 applied as a batched MXU matmul (see solvers/bvp.py — the reference's
 BVPSolver + KBPENTA pipeline). The k = 0 mode uses a Neumann-top/gauge-
-bottom operator, exact for charge-neutral systems. The reference's
-dielectric-jump and metallic-wall Permitivity options are not yet ported
-(uniform permittivity here).
+bottom operator, exact for charge-neutral systems.
+
+Exterior media (reference PoissonSlab/Permitivity): ``eps_top`` /
+``eps_bottom`` select dielectric half-spaces above/below (image-charge
+physics emerges from the interface BC rows — see _build_poisson_ops) or
+grounded metallic walls (math.inf); uniform wall surface charge densities
+enter the k = 0 flux row. The reference's tolerance-driven near-field Ewald
+split (PoissonSlab/NearField.cuh) is not replicated: accuracy here is set
+by the grid resolution (points_per_gw), trading the split's small-gw
+economy for a single spectral pass.
 
 Forces: E = -grad phi (ik in-plane, Chebyshev differentiation in z).
 """
@@ -36,7 +43,25 @@ from ..solvers.bvp import cheb_derivative_matrix
 from ..solvers.slab_grid import SlabGrid
 
 
-def _build_poisson_ops(nz, H, kxs, kys, eps):
+def _build_poisson_ops(nz, H, kxs, kys, eps, eps_top=None, eps_bottom=None):
+    """Per-mode Poisson operators with general z boundaries.
+
+    ``eps_top`` / ``eps_bottom`` are the permittivities of the semi-infinite
+    media above/below the slab (reference: DPPoissonSlab.cuh:17 Permitivity
+    {inside, top, bottom}); ``math.inf`` = metallic (grounded) wall. The
+    exterior decaying solution phi ~ e^{-k|z|} is eliminated through the
+    interface conditions (phi continuous, eps phi' continuous):
+
+        eps_in phi' + eps_top    k phi = 0   at z = +H/2
+        eps_in phi' - eps_bottom k phi = 0   at z = -H/2
+
+    (uniform eps_top = eps_bottom = eps reduces to the plain decay BCs;
+    eps -> inf gives phi = 0, the metallic limit.)
+    """
+    if eps_top is None:
+        eps_top = eps
+    if eps_bottom is None:
+        eps_bottom = eps
     D = cheb_derivative_matrix(nz, H / 2.0)
     D2 = D @ D
     eye = np.eye(nz)
@@ -44,22 +69,37 @@ def _build_poisson_ops(nz, H, kxs, kys, eps):
     ky = np.asarray(kys).ravel()
     nk = kx.shape[0]
     ops = np.empty((nk, nz, nz))
+    metal_top = math.isinf(eps_top)
+    metal_bottom = math.isinf(eps_bottom)
     for i in range(nk):
         k2 = kx[i] ** 2 + ky[i] ** 2
         k = math.sqrt(k2)
         A = D2 - k2 * eye
-        if k2 > 0:
-            A[0, :] = D[0] + k * eye[0]  # top: phi' + k phi = 0
-            A[nz - 1, :] = D[nz - 1] - k * eye[nz - 1]  # bottom
+        if metal_top:
+            A[0, :] = eye[0]
+        elif k2 > 0:
+            A[0, :] = eps * D[0] + eps_top * k * eye[0]
         else:
-            A[0, :] = D[0]  # neutral system: phi'(top) = 0
-            A[nz - 1, :] = eye[nz - 1]  # gauge phi(bottom) = 0
+            A[0, :] = D[0]  # k=0: zero exterior field (neutral system)
+        if metal_bottom:
+            A[nz - 1, :] = eye[nz - 1]
+        elif k2 > 0:
+            A[nz - 1, :] = eps * D[nz - 1] - eps_bottom * k * eye[nz - 1]
+        else:
+            A[nz - 1, :] = eye[nz - 1]  # k=0 gauge phi(bottom) = 0
         ops[i] = np.linalg.inv(A)
     return ops
 
 
 @dataclasses.dataclass(frozen=True)
 class DPPoissonSlab:
+    """Slab electrostatics with dielectric media / metallic walls outside
+    (reference: DPPoissonSlab.cuh:17 + PoissonSlab/Permitivity): eps_top /
+    eps_bottom set the exterior permittivities (math.inf = grounded metal),
+    sigma_top / sigma_bottom are uniform wall surface charge densities
+    (require overall neutrality: sum(q) + (sigma_top + sigma_bottom) *
+    Lx * Ly = 0 unless a wall is metallic)."""
+
     box: Box
     epsilon: float
     gw: float
@@ -69,10 +109,15 @@ class DPPoissonSlab:
     grid: SlabGrid
     inv_ops: jax.Array  # [nk, nz, nz]
     Dz: jax.Array  # [nz, nz]
+    eps_top: float = None
+    eps_bottom: float = None
+    sigma_top: float = 0.0
+    sigma_bottom: float = 0.0
 
     @staticmethod
     def create(box, epsilon=1.0, gw=1.0, points_per_gw=1.5, nz=None,
-               support=10):
+               support=10, eps_top=None, eps_bottom=None,
+               sigma_top=0.0, sigma_bottom=0.0):
         Ls = [float(s) for s in jax.device_get(box.size)]
         shape = tuple(
             next_fft_size(max(16, int(L * points_per_gw / gw)))
@@ -83,14 +128,25 @@ class DPPoissonSlab:
         kx = 2 * math.pi * np.fft.fftfreq(shape[0], d=Ls[0] / shape[0])
         ky = 2 * math.pi * np.fft.rfftfreq(shape[1], d=Ls[1] / shape[1])
         KX, KY = np.meshgrid(kx, ky, indexing="ij")
-        ops = _build_poisson_ops(nz, Ls[2], KX, KY, epsilon)
+        ops = _build_poisson_ops(nz, Ls[2], KX, KY, epsilon,
+                                 eps_top=eps_top, eps_bottom=eps_bottom)
         sg = SlabGrid(shape=shape, nz=nz, box_size=tuple(Ls), sigma=gw,
                       support=support)
+        if sigma_top or sigma_bottom:
+            et = epsilon if eps_top is None else eps_top
+            eb = epsilon if eps_bottom is None else eps_bottom
+            if math.isinf(et) or math.isinf(eb):
+                raise ValueError(
+                    "prescribed surface charge on a metallic wall is not "
+                    "meaningful (the wall charge is induced)"
+                )
         return DPPoissonSlab(
             box=box, epsilon=epsilon, gw=gw, shape=shape, nz=nz,
             box_size=tuple(Ls), grid=sg,
             inv_ops=jnp.asarray(ops, jnp.float32),
             Dz=jnp.asarray(cheb_derivative_matrix(nz, Ls[2] / 2.0), jnp.float32),
+            eps_top=eps_top, eps_bottom=eps_bottom,
+            sigma_top=float(sigma_top), sigma_bottom=float(sigma_bottom),
         )
 
     def fields(self, pos, charge):
@@ -99,8 +155,17 @@ class DPPoissonSlab:
         rho_k = jnp.fft.rfftn(rho, axes=(0, 1))  # [nx, nyk, nz]
         nx, nyk = rho_k.shape[0], rho_k.shape[1]
         rhs = -rho_k / self.epsilon
-        # BC rows carry zeros
+        # BC rows: zero except the k = 0 top flux from wall surface charge
+        # (D-field jump with a zero exterior k = 0 field:
+        # phi'(top) = sigma_top / eps_in; the bottom flux then follows from
+        # global neutrality through the interior equation)
         rhs = rhs.at[..., 0].set(0.0).at[..., self.nz - 1].set(0.0)
+        if self.sigma_top or self.sigma_bottom:
+            # rfftn convention: the k = 0 coefficient carries a factor
+            # nx * ny that irfftn divides back out
+            rhs = rhs.at[0, 0, 0].set(
+                self.sigma_top / self.epsilon * self.shape[0] * self.shape[1]
+            )
         inv = self.inv_ops.astype(rhs.real.dtype)
         phi_k = jnp.einsum(
             "kij,kj->ki", inv.reshape(nx * nyk, self.nz, self.nz),

@@ -1,0 +1,385 @@
+"""Pallas TPU pair-force kernel v2: Newton's third law + straggler rows.
+
+Second-generation hot loop (see pair_kernel.py for the baseline design and
+the lane/fold encoding). Two structural upgrades over v1, both aimed at the
+reference benchmark workload (reference: examples/misc/benchmark.cu):
+
+1. **Newton halving** (reference exploits it implicitly by thread-per-
+   particle symmetry; here it halves *candidate block* work): instead of all
+   27 stencil offsets, each program enumerates only the self block plus the
+   13 lexicographically-positive offsets, computing each pair interaction
+   once. The force on the home particle accumulates locally; the equal and
+   opposite reaction on the candidate particle is reduced over the home axis,
+   rotated back into the candidate's own lane coordinates (undoing the
+   fold-aware lane roll), and written to one of four *reaction group* arrays
+   keyed by the candidate block's (dz, dyb) displacement. A cheap fold pass
+   (``fold_reactions``) then adds each group at its shifted block index:
+
+       f_total[z, yb] = home[z, yb] + sum_g G_g[z - dz_g, yb - dyb_g]
+
+   Reactions targeting the home program's own block ((dz, dyb) = (0, 0))
+   are folded in-kernel and never leave VMEM.
+
+2. **Straggler rows** (GridSpec.n_strag): CAP covers the bulk occupancy;
+   the few overflow particles ride in a dense [S] side list that every
+   program sees as one broadcast candidate block with explicit minimum-image
+   wrapping. Forces on the stragglers themselves are reduced over the home
+   axis into per-program partials summed outside. Straggler-straggler pairs
+   are O(S^2) and handled in plain XLA (straggler_pair_forces).
+
+The potential enters as g(r2) = (dE/dr)/r exactly as in v1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import GridSpec
+from .pair_kernel import _lane_constants, _shift_lanes
+
+# positive (lexicographic) stencil offsets: every unordered cell pair
+# appears exactly once across {self} + POS_OFFSETS
+POS_OFFSETS = (
+    [(1, dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    + [(0, 1, dx) for dx in (-1, 0, 1)]
+    + [(0, 0, 1)]
+)
+# reaction groups: (dz, dyb) displacement of the candidate *block*
+REACTION_GROUPS = ((1, -1), (1, 0), (1, 1), (0, 1))
+
+
+def make_newton_pair_kernel(
+    spec: GridSpec,
+    g_fn: Callable,
+    *,
+    interpret: bool | None = None,
+    clamp_lo: float = 4e-3,
+):
+    """Build force(x, y, z[, strag]) ->
+    (home_f[3], groups[4][3], strag_partial[3 if S else 0]).
+
+    ``strag`` is the [4, S, NLANE] broadcast straggler block
+    (x, y, z, valid) — see ``broadcast_stragglers``.
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    S = spec.n_strag
+    Lx, Ly, Lz = (np.float32(v) for v in spec.box_size)
+    iLx, iLy, iLz = (np.float32(1.0 / v) for v in spec.box_size)
+    rc2 = np.float32(spec.cutoff * spec.cutoff)
+    clamp_lo = np.float32(clamp_lo)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # source blocks needed for self + positive offsets
+    blocks_needed = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    nblk = len(blocks_needed)
+    n_in = 3 * nblk + (1 if S else 0)
+    n_out = 3 + 12 + (3 if S else 0)
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:]
+        zpid = pl.program_id(0)
+        ypid = pl.program_id(1)
+        consts = _lane_constants(spec)
+
+        blocks = {}
+        for k, (dz, dyb) in enumerate(blocks_needed):
+            bx = ins[k][0, 0, :, :]
+            by = ins[nblk + k][0, 0, :, :]
+            bz = ins[2 * nblk + k][0, 0, :, :]
+            if dyb == 1:
+                by = by + jnp.where(ypid == nyb - 1, Ly, 0.0)
+            elif dyb == -1:
+                by = by + jnp.where(ypid == 0, -Ly, 0.0)
+            if dz == 1:
+                bz = bz + jnp.where(zpid == nz - 1, Lz, 0.0)
+            blocks[(dz, dyb)] = (bx, by, bz)
+
+        xi, yi, zi = blocks[(0, 0)]
+        xi_ = xi[:, None, :]
+        yi_ = yi[:, None, :]
+        zi_ = zi[:, None, :]
+
+        fx = jnp.zeros((cap, nlane), jnp.float32)
+        fy = jnp.zeros((cap, nlane), jnp.float32)
+        fz = jnp.zeros((cap, nlane), jnp.float32)
+        grp = {
+            g: [jnp.zeros((cap, nlane), jnp.float32) for _ in range(3)]
+            for g in REACTION_GROUPS
+        }
+
+        def pair_g(r2):
+            r2s = jnp.maximum(r2, clamp_lo)
+            return jnp.where(r2 < rc2, g_fn(r2s), 0.0)
+
+        # ---- self block: full all-pairs, both directions in one go
+        dxv = xi[None, :, :] - xi_
+        dyv = yi[None, :, :] - yi_
+        dzv = zi[None, :, :] - zi_
+        g = pair_g(dxv * dxv + dyv * dyv + dzv * dzv)
+        fx = fx + jnp.sum(g * dxv, axis=1)
+        fy = fy + jnp.sum(g * dyv, axis=1)
+        fz = fz + jnp.sum(g * dzv, axis=1)
+
+        # ---- positive offsets: compute once, route the reaction back
+        for (dz, dy, dx) in POS_OFFSETS:
+            infold = consts[("infold", dy)]
+            sgn = 0 if dy == 0 else (1 if dy > 0 else -1)
+            src_self = blocks[(dz, 0)]
+            src_nbr = blocks[(dz, sgn)] if sgn != 0 else src_self
+            s_in = dx * F + dy
+            s_out = s_in - sgn * F
+            cx_s, cy_s, cz_s = (
+                _shift_lanes(c, s_in, interpret) for c in src_self
+            )
+            if sgn != 0:
+                cx_n, cy_n, cz_n = (
+                    _shift_lanes(c, s_out, interpret) for c in src_nbr
+                )
+                cx = jnp.where(infold, cx_s, cx_n)
+                cy = jnp.where(infold, cy_s, cy_n)
+                cz = jnp.where(infold, cz_s, cz_n)
+            else:
+                cx, cy, cz = cx_s, cy_s, cz_s
+            if consts[("xshift", dx)] is not None:
+                cx = cx + consts[("xshift", dx)]
+
+            dxv = cx[None, :, :] - xi_
+            dyv = cy[None, :, :] - yi_
+            dzv = cz[None, :, :] - zi_
+            g = pair_g(dxv * dxv + dyv * dyv + dzv * dzv)
+            tx = g * dxv
+            ty = g * dyv
+            tz = g * dzv
+            fx = fx + jnp.sum(tx, axis=1)
+            fy = fy + jnp.sum(ty, axis=1)
+            fz = fz + jnp.sum(tz, axis=1)
+            # reaction on the candidates, in candidate lane coordinates
+            for c, t in ((0, tx), (1, ty), (2, tz)):
+                r = -jnp.sum(t, axis=0)  # [cap_j, nlane], home-lane coords
+                if sgn != 0:
+                    rin = _shift_lanes(
+                        jnp.where(infold, r, 0.0), -s_in, interpret
+                    )
+                    rout = _shift_lanes(
+                        jnp.where(infold, 0.0, r), -s_out, interpret
+                    )
+                    if dz == 0:
+                        # infold part targets this very block
+                        if c == 0:
+                            fx = fx + rin
+                        elif c == 1:
+                            fy = fy + rin
+                        else:
+                            fz = fz + rin
+                    else:
+                        grp[(dz, 0)][c] = grp[(dz, 0)][c] + rin
+                    grp[(dz, sgn)][c] = grp[(dz, sgn)][c] + rout
+                else:
+                    rin = _shift_lanes(r, -s_in, interpret)
+                    if dz == 0:
+                        if c == 0:
+                            fx = fx + rin
+                        elif c == 1:
+                            fy = fy + rin
+                        else:
+                            fz = fz + rin
+                    else:
+                        grp[(dz, 0)][c] = grp[(dz, 0)][c] + rin
+
+        # ---- straggler broadcast block (minimum image, both directions)
+        if S:
+            sblk = ins[3 * nblk][:, :, :]  # [4, S, nlane]
+            sx = sblk[0][None, :, :]
+            sy = sblk[1][None, :, :]
+            sz = sblk[2][None, :, :]
+            sval = sblk[3][None, :, :] > 0.5
+            vhome = (xi_ < 1.0e8)
+            dxv = sx - xi_
+            dyv = sy - yi_
+            dzv = sz - zi_
+            dxv = dxv - Lx * jnp.round(dxv * iLx)
+            dyv = dyv - Ly * jnp.round(dyv * iLy)
+            dzv = dzv - Lz * jnp.round(dzv * iLz)
+            r2 = dxv * dxv + dyv * dyv + dzv * dzv
+            ok = (r2 < rc2) & sval & vhome
+            g = jnp.where(ok, g_fn(jnp.maximum(r2, clamp_lo)), 0.0)
+            tx = g * dxv
+            ty = g * dyv
+            tz = g * dzv
+            fx = fx + jnp.sum(tx, axis=1)
+            fy = fy + jnp.sum(ty, axis=1)
+            fz = fz + jnp.sum(tz, axis=1)
+            outs[15][0, 0, :, :] = -jnp.sum(tx, axis=0)
+            outs[16][0, 0, :, :] = -jnp.sum(ty, axis=0)
+            outs[17][0, 0, :, :] = -jnp.sum(tz, axis=0)
+
+        outs[0][0, 0, :, :] = fx
+        outs[1][0, 0, :, :] = fy
+        outs[2][0, 0, :, :] = fz
+        k = 3
+        for gkey in REACTION_GROUPS:
+            for c in range(3):
+                outs[k][0, 0, :, :] = grp[gkey][c]
+                k += 1
+
+    def block_spec(dz, dyb):
+        return pl.BlockSpec(
+            (1, 1, cap, nlane),
+            functools.partial(_blk_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [block_spec(dz, dyb) for _ in range(3) for (dz, dyb) in blocks_needed]
+    if S:
+        in_specs.append(
+            pl.BlockSpec(
+                (4, S, nlane), lambda z, yb: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_spec = pl.BlockSpec(
+        (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [out_spec] * 15
+    out_shape = [
+        jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+    ] * 15
+    if S:
+        out_specs += [
+            pl.BlockSpec(
+                (1, 1, S, nlane), lambda z, yb: (z, yb, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 3
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, nyb, S, nlane), jnp.float32)
+        ] * 3
+
+    bytes_per_block = cap * nlane * 4
+    cost = pl.CostEstimate(
+        flops=nz * nyb * (14 * cap + S) * cap * nlane * 22,
+        bytes_accessed=nz * nyb * (15 + n_out) * bytes_per_block,
+        transcendentals=0,
+    )
+
+    @jax.jit
+    def force(x, y, z, strag=None):
+        args = [[x, y, z][i // nblk] for i in range(3 * nblk)]
+        if S:
+            args.append(strag)
+        return pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    return force
+
+
+def _blk_index(z, yb, *, dz, dyb, nz, nyb):
+    return ((z + dz) % nz, (yb + dyb) % nyb, 0, 0)
+
+
+def make_fold_kernel(spec: GridSpec, *, interpret: bool | None = None):
+    """Fold the 4 reaction groups into the home forces:
+    f[z, yb] = home[z, yb] + sum_g G_g[(z - dz_g) % nz, (yb - dyb_g) % nyb].
+    """
+    nz, nyb, cap, nlane = spec.array_shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        ins = refs[:15]
+        outs = refs[15:]
+        for c in range(3):
+            acc = ins[c][0, 0, :, :]
+            for gi in range(4):
+                acc = acc + ins[3 + gi * 3 + c][0, 0, :, :]
+            outs[c][0, 0, :, :] = acc
+
+    home_spec = pl.BlockSpec(
+        (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [home_spec] * 3
+    for (dz, dyb) in REACTION_GROUPS:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, cap, nlane),
+                functools.partial(
+                    _blk_index, dz=-dz, dyb=-dyb, nz=nz, nyb=nyb
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 3
+
+    @jax.jit
+    def fold(home, groups):
+        args = list(home)
+        for g in groups:
+            args += list(g)
+        return pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=[home_spec] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+            ] * 3,
+            interpret=interpret,
+        )(*args)
+
+    return fold
+
+
+def fold_reactions_jnp(home, groups):
+    """XLA fallback of make_fold_kernel (CPU tests; jnp.roll on block axes)."""
+    out = list(home)
+    for (dz, dyb), g in zip(REACTION_GROUPS, groups):
+        for c in range(3):
+            out[c] = out[c] + jnp.roll(g[c], shift=(dz, dyb), axis=(0, 1))
+    return tuple(out)
+
+
+def broadcast_stragglers(spec: GridSpec, spos, spid):
+    """[S, 3] straggler positions + validity -> the [4, S, NLANE] broadcast
+    block consumed by the v2 kernel."""
+    S = spec.n_strag
+    val = (spid >= 0).astype(jnp.float32)
+    stack = jnp.stack(
+        [spos[:, 0], spos[:, 1], spos[:, 2], val]
+    )  # [4, S]
+    return jnp.broadcast_to(stack[:, :, None], (4, S, spec.nlane))
+
+
+def straggler_pair_forces(spec: GridSpec, g_fn, spos, spid,
+                          clamp_lo: float = 4e-3):
+    """O(S^2) straggler-straggler forces (minimum image), [S, 3]."""
+    Ls = jnp.asarray(spec.box_size, jnp.float32)
+    rc2 = np.float32(spec.cutoff * spec.cutoff)
+    val = spid >= 0
+    d = spos[None, :, :] - spos[:, None, :]
+    d = d - Ls * jnp.round(d / Ls)
+    r2 = jnp.sum(d * d, axis=-1)
+    ok = (r2 < rc2) & (r2 > 1e-10) & val[None, :] & val[:, None]
+    g = jnp.where(ok, g_fn(jnp.maximum(r2, np.float32(clamp_lo))), 0.0)
+    return jnp.sum(g[:, :, None] * d, axis=1)

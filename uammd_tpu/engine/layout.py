@@ -54,6 +54,13 @@ class GridSpec:
     fold: int
     cutoff: float
     skin: float  # rl = cutoff*skin; cells are >= rl on each axis
+    # Straggler capacity: when > 0, CAP covers the occupancy *quantile*
+    # instead of the max, and the few particles ranked >= CAP in an
+    # overflowing cell ride in a dense [n_strag] side list handled by a
+    # broadcast pass (engine/kernel2.py). Kernel cost scales with CAP^2, so
+    # shaving CAP from the max (32) to the bulk (24) is a 1.8x win on the
+    # reference benchmark workload (docs/PERF.md "CAP padding").
+    n_strag: int = 0
 
     @property
     def nyb(self) -> int:
@@ -93,6 +100,7 @@ def choose_spec(
     max_lanes: int = 128,
     cap: int | None = None,
     pos=None,
+    n_strag: int = 0,
 ) -> GridSpec:
     """Pick (nx, ny, nz), fold F and CAP for a target box/density.
 
@@ -103,12 +111,28 @@ def choose_spec(
     """
     Ls = [float(s) for s in np.broadcast_to(np.asarray(box_size, float), (3,))]
     rl = cutoff * skin
-    nx = max(3, int(Ls[0] / rl))
+    nx_nat = max(3, int(Ls[0] / rl))
     nz = max(3, int(Ls[2] / rl))
-    ny = max(3, int(Ls[1] / rl))
-    F = max(1, min(max_lanes // nx, ny // 3))
-    while F > 1 and ny % F != 0:
-        F -= 1
+    ny_nat = max(3, int(Ls[1] / rl))
+    # Geometry search: cells may always be *larger* than rl (fewer of them),
+    # so pick (nx, ny, F) minimizing the kernel cost model
+    # nz * nyb * CAP_est^2 (the hardware always processes 128 lanes, so a
+    # poor fold/lane fit shows up as extra blocks, not cheaper ones).
+    best = None
+    for nx in range(3, nx_nat + 1):
+        for F in range(1, max(1, max_lanes // nx) + 1):
+            ny = (ny_nat // F) * F
+            if ny < 3 or ny // F < 3:
+                continue
+            lam = n / float(nx * ny * nz)
+            cap_est = int(math.ceil(
+                (lam + 4.0 * math.sqrt(lam) + 2.0) / 8.0)) * 8
+            cost = nz * (ny // F) * cap_est * cap_est
+            # prefer more lanes on ties (denser lane usage, fewer blocks)
+            key_ = (cost, -(nx * F))
+            if best is None or key_ < best[0]:
+                best = (key_, nx, ny, F)
+    _, nx, ny, F = best
     if cap is None:
         lam = (
             n / (Ls[0] * Ls[1] * Ls[2])
@@ -128,21 +152,39 @@ def choose_spec(
                 for d, nd in enumerate((nx, ny, nz))
             ]
             flat = (idx[2] * ny + idx[1]) * nx + idx[0]
-            occ = int(np.bincount(flat, minlength=nx * ny * nz).max())
+            counts = np.bincount(flat, minlength=nx * ny * nz)
+            occ = int(counts.max())
             # the measured occupancy (with a fluctuation margin) REPLACES the
             # Poisson estimate — real liquids are sub-Poissonian, and CAP^2
             # drives the kernel cost
             cap = (occ + max(2, occ // 8) + 7) // 8 * 8
+            if n_strag > 0:
+                # Straggler mode: CAP covers the bulk, the side list absorbs
+                # the tail. Pick the smallest CAP whose expected overflow
+                # leaves >= 2x headroom in the list and whose per-cell excess
+                # fits the rebin kernel's 8-slot overflow mini-grid.
+                for c in range(8, cap + 1, 8):
+                    excess = np.maximum(counts - c, 0)
+                    if excess.sum() * 3 <= n_strag and excess.max() <= 6:
+                        cap = c
+                        break
     return GridSpec(
         box_size=tuple(Ls), shape=(nx, ny, nz), cap=cap, fold=F,
-        cutoff=float(cutoff), skin=float(skin),
+        cutoff=float(cutoff), skin=float(skin), n_strag=int(n_strag),
     )
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GridState:
-    """Grid-resident MD state. All arrays [nz, nyb, CAP, NLANE]."""
+    """Grid-resident MD state. All grid arrays [nz, nyb, CAP, NLANE].
+
+    When ``spec.n_strag > 0`` the ``s*`` fields hold the straggler side list
+    ([S] dense rows for particles whose cell exceeded CAP at the last rebin;
+    see GridSpec.n_strag): spos/svel [S, 3], spid int32 (-1 = empty slot).
+    Stragglers interact with everything through the broadcast lane of the v2
+    pair kernel and are re-absorbed into cells at every rebin.
+    """
 
     spec: GridSpec = dataclasses.field(metadata={"static": True})
     n: int = dataclasses.field(metadata={"static": True})
@@ -161,10 +203,18 @@ class GridState:
     ref_z: jax.Array
     key: jax.Array
     overflow: jax.Array  # bool, latching
+    spos: jax.Array  # [S, 3] straggler positions (EMPTY_POS on empty rows)
+    svel: jax.Array  # [S, 3]
+    sforce: jax.Array  # [S, 3]
+    spid: jax.Array  # [S] int32, -1 = empty
 
     @property
     def mask(self) -> jax.Array:
         return self.pid >= 0
+
+    @property
+    def smask(self) -> jax.Array:
+        return self.spid >= 0
 
     def replace(self, **kw) -> "GridState":
         return dataclasses.replace(self, **kw)
@@ -199,10 +249,13 @@ def _bin_columns(spec: GridSpec, key, cols, n: int, fills=None):
     grid. ``cols`` = tuple of payload columns (float32/int32, 1-D, same length
     as key). ``fills`` optionally overrides the empty-slot fill value per
     column (default: -1 for ints, EMPTY_POS for floats — payload channels
-    like forces should pass 0.0). Returns (binned_cols, overflow) with each
-    binned col shaped [nz, nyb, CAP, NLANE]."""
+    like forces should pass 0.0). Returns (binned_cols, strag_cols, overflow):
+    each binned col is [nz, nyb, CAP, NLANE]; strag_cols are the [S] straggler
+    rows (entries ranked >= CAP in an overflowing cell; S = spec.n_strag,
+    empty when 0) padded with the fill values."""
     nz_, nyb, cap, nlane = spec.array_shape
     T = spec.n_slots
+    S = spec.n_strag
     ncell = nz_ * nyb * nlane  # memory cells
     m = key.shape[0]
 
@@ -231,15 +284,39 @@ def _bin_columns(spec: GridSpec, key, cols, n: int, fills=None):
     rank = idx - first
     kept = (cell < ncell) & (rank < cap)
     is_real = (skey2 & 1) == 0
-    overflow = jnp.any(is_real & (cell < ncell) & (rank >= cap))
-    slot = jnp.where(kept, cell * cap + rank, T + idx)
+    is_strag = is_real & (cell < ncell) & (rank >= cap)
+    n_over = jnp.sum(is_strag)
+    # destination: grid slots [0, T), stragglers right after (ordered by
+    # their position in the first sort), junk (excess fillers + invalid
+    # entries) last
+    strag_rank = jnp.cumsum(is_strag) - 1
+    slot = jnp.where(
+        kept,
+        cell * cap + rank,
+        jnp.where(is_strag, T + strag_rank, T + m + idx),
+    )
     s2 = jax.lax.sort((slot,) + s[1:], dimension=0, num_keys=1)
 
     def to_grid(c):
         g = c[:T].reshape(nz_, nyb, nlane, cap)
         return jnp.swapaxes(g, 2, 3)  # -> [nz, nyb, CAP, NLANE]
 
-    return tuple(to_grid(c) for c in s2[1:]), overflow
+    if S > 0:
+        svalid = jnp.arange(S) < n_over
+        strag_cols = tuple(
+            jnp.where(
+                svalid,
+                c[T:T + S],
+                (-1 if jnp.issubdtype(c.dtype, jnp.integer) else
+                 (0.0 if f == 0.0 else EMPTY_POS)),
+            )
+            for c, f in zip(s2[1:], fills)
+        )
+        overflow = n_over > S
+    else:
+        strag_cols = tuple(c[:0] for c in s2[1:])
+        overflow = n_over > 0
+    return tuple(to_grid(c) for c in s2[1:]), strag_cols, overflow
 
 
 def pack(
@@ -263,8 +340,9 @@ def pack(
     ck = _cell_key(spec, x, y, z, jnp.ones((n,), bool))
     cols = (x, y, z, vel[:, 0], vel[:, 1], vel[:, 2],
             force[:, 0], force[:, 1], force[:, 2], pid)
-    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), ovf = _bin_columns(
-        spec, ck, cols, n
+    fills = (None, None, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, None)
+    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), strag, ovf = (
+        _bin_columns(spec, ck, cols, n, fills=fills)
     )
     if key is None:
         key = jax.random.key(0)
@@ -273,6 +351,10 @@ def pack(
         x=gx, y=gy, z=gz, vx=gvx, vy=gvy, vz=gvz, fx=gfx, fy=gfy, fz=gfz,
         pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
         key=key, overflow=ovf,
+        spos=jnp.stack(strag[0:3], axis=-1),
+        svel=jnp.stack(strag[3:6], axis=-1),
+        sforce=jnp.stack(strag[6:9], axis=-1),
+        spid=strag[9],
     )
 
 
@@ -318,7 +400,7 @@ def pack_channels(spec: GridSpec, pos, channels) -> ChannelGrid:
     ck = _cell_key(spec, x, y, z, jnp.ones((n,), bool))
     cols = (x, y, z) + tuple(channels[:, c] for c in range(C)) + (pid,)
     fills = (None, None, None) + (0.0,) * C + (None,)
-    binned, ovf = _bin_columns(spec, ck, cols, n, fills=fills)
+    binned, _, ovf = _bin_columns(spec, ck, cols, n, fills=fills)
     return ChannelGrid(
         spec=spec, n=n,
         x=binned[0], y=binned[1], z=binned[2],
@@ -338,7 +420,8 @@ def unpack_values(cg: ChannelGrid, values) -> jax.Array:
 
 
 def rebin(gs: GridState) -> GridState:
-    """Re-sort all slots into their current cells (jit-safe, no gathers)."""
+    """Re-sort all slots (plus the straggler side list, when enabled) into
+    their current cells (jit-safe, no gathers)."""
     spec = gs.spec
     Ls = spec.box_size
     valid = gs.pid >= 0
@@ -351,16 +434,39 @@ def rebin(gs: GridState) -> GridState:
     def flat(a):
         return a.reshape(-1)
 
-    cols = (flat(x), flat(y), flat(z),
+    cols = [flat(x), flat(y), flat(z),
             flat(gs.vx), flat(gs.vy), flat(gs.vz),
-            flat(gs.fx), flat(gs.fy), flat(gs.fz), flat(gs.pid))
-    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), ovf = _bin_columns(
-        spec, flat(ck), cols, gs.n
+            flat(gs.fx), flat(gs.fy), flat(gs.fz), flat(gs.pid)]
+    keys = flat(ck)
+    if spec.n_strag > 0:
+        sv = gs.spid >= 0
+        sp = [
+            jnp.where(
+                sv,
+                gs.spos[:, d] - Ls[d] * jnp.round(gs.spos[:, d] / Ls[d]),
+                EMPTY_POS,
+            )
+            for d in range(3)
+        ]
+        sck = _cell_key(spec, sp[0], sp[1], sp[2], sv)
+        keys = jnp.concatenate([keys, sck])
+        extra = sp + [gs.svel[:, d] for d in range(3)] + [
+            gs.sforce[:, d] for d in range(3)
+        ] + [gs.spid]
+        cols = [jnp.concatenate([c, e.astype(c.dtype)])
+                for c, e in zip(cols, extra)]
+    fills = (None, None, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, None)
+    (gx, gy, gz, gvx, gvy, gvz, gfx, gfy, gfz, gpid), strag, ovf = (
+        _bin_columns(spec, keys, tuple(cols), gs.n, fills=fills)
     )
     return gs.replace(
         x=gx, y=gy, z=gz, vx=gvx, vy=gvy, vz=gvz, fx=gfx, fy=gfy, fz=gfz,
         pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
         overflow=gs.overflow | ovf,
+        spos=jnp.stack(strag[0:3], axis=-1) if spec.n_strag else gs.spos,
+        svel=jnp.stack(strag[3:6], axis=-1) if spec.n_strag else gs.svel,
+        sforce=jnp.stack(strag[6:9], axis=-1) if spec.n_strag else gs.sforce,
+        spid=strag[9] if spec.n_strag else gs.spid,
     )
 
 
@@ -381,14 +487,22 @@ def maybe_rebin(gs: GridState) -> GridState:
 
 
 def unpack(gs: GridState):
-    """Back to canonical [N]-order (pos, vel, force) — off the hot path."""
+    """Back to canonical [N]-order (pos, vel, force) — off the hot path.
+    Includes the straggler side list when enabled."""
     valid = gs.pid >= 0
-    pid = jnp.where(valid, gs.pid, gs.n)  # empties last
-    cols = tuple(
+    pid = jnp.where(valid, gs.pid, gs.n).reshape(-1)  # empties last
+    cols = [
         a.reshape(-1)
         for a in (gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz, gs.fx, gs.fy, gs.fz)
-    )
-    s = jax.lax.sort((pid.reshape(-1),) + cols, dimension=0, num_keys=1)
+    ]
+    if gs.spec.n_strag > 0:
+        spid = jnp.where(gs.spid >= 0, gs.spid, gs.n)
+        pid = jnp.concatenate([pid, spid])
+        extra = [gs.spos[:, d] for d in range(3)] + [
+            gs.svel[:, d] for d in range(3)
+        ] + [gs.sforce[:, d] for d in range(3)]
+        cols = [jnp.concatenate([c, e]) for c, e in zip(cols, extra)]
+    s = jax.lax.sort((pid,) + tuple(cols), dimension=0, num_keys=1)
     n = gs.n
     pos = jnp.stack([s[1][:n], s[2][:n], s[3][:n]], axis=-1)
     vel = jnp.stack([s[4][:n], s[5][:n], s[6][:n]], axis=-1)

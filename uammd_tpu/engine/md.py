@@ -108,7 +108,8 @@ class GridMD:
         return self.compute_forces(gs)
 
     def compute_forces(self, gs: GridState) -> GridState:
-        fx, fy, fz = self.force_kernel(gs.x, gs.y, gs.z)[:3]
+        with jax.named_scope("uammd.engine.pair_forces"):
+            fx, fy, fz = self.force_kernel(gs.x, gs.y, gs.z)[:3]
         m = gs.mask
         return gs.replace(fx=fx * m, fy=fy * m, fz=fz * m)
 

@@ -1,0 +1,247 @@
+"""v2 high-throughput MD engine: Newton pair kernel + stragglers + fused
+Gronbech-Jensen update.
+
+Drop-in evolution of engine/md.py (same reference workload, examples/misc/
+benchmark.cu), composing the round-2 performance features:
+
+- CAP sized to the bulk occupancy, overflow in a dense straggler side list
+  (layout.GridSpec.n_strag, kernel2 straggler rows, rebin_kernel.rebin_fast2);
+- Newton's-third-law pair kernel (kernel2.make_newton_pair_kernel) + one
+  fold pass for the cross-block reactions;
+- fused G-J update with in-register Box-Muller noise from the TPU hardware
+  PRNG (update_kernel) on TPU; jnp mirror elsewhere.
+
+Velocity convention: the state's (vx, vy, vz) carry the *pre-half-kick*
+velocity w(t) = v(t) - (dt/2m) f(t) (see update_kernel docstring);
+``velocities_of`` / ``temperature_of`` reconstruct the physical v.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernel2 import (
+    broadcast_stragglers,
+    fold_reactions_jnp,
+    make_fold_kernel,
+    make_newton_pair_kernel,
+    straggler_pair_forces,
+)
+from .layout import GridState, GridSpec, choose_spec, pack
+from .md import lj_g
+from .rebin_kernel import rebin_fast2, rebin_fast_noforce
+from .update_kernel import gj_update_jnp, make_gj_update_kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMD2:
+    """Bound v2 engine: spec + kernels + integrator parameters."""
+
+    spec: GridSpec
+    g_fn: object
+    dt: float
+    temperature: float
+    friction: float
+    mass: float
+    use_fused_update: bool
+
+    @staticmethod
+    def create(spec: GridSpec, g_fn, *, dt, temperature, friction=1.0,
+               mass=1.0, interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        md = GridMD2(
+            spec=spec, g_fn=g_fn, dt=dt, temperature=temperature,
+            friction=friction, mass=mass,
+            use_fused_update=not interpret,
+        )
+        object.__setattr__(
+            md, "_pair", make_newton_pair_kernel(spec, g_fn,
+                                                 interpret=interpret)
+        )
+        object.__setattr__(
+            md, "_fold",
+            make_fold_kernel(spec, interpret=interpret) if not interpret
+            else None,
+        )
+        if md.use_fused_update:
+            object.__setattr__(
+                md, "_update",
+                make_gj_update_kernel(spec, dt, temperature, friction, mass),
+            )
+        object.__setattr__(md, "_scan_cache", {})
+        return md
+
+    # ----------------------------------------------------------- forces
+    def compute_forces(self, gs: GridState) -> GridState:
+        S = self.spec.n_strag
+        hv = np.float32(0.5 * self.dt / self.mass)
+        with jax.named_scope("uammd.engine2.pair_forces"):
+            if S:
+                strag = broadcast_stragglers(self.spec, gs.spos, gs.spid)
+                outs = self._pair(gs.x, gs.y, gs.z, strag)
+            else:
+                outs = self._pair(gs.x, gs.y, gs.z)
+        home = outs[0:3]
+        groups = [outs[3 + 3 * i: 6 + 3 * i] for i in range(4)]
+        if self._fold is not None:
+            fx, fy, fz = self._fold(home, groups)
+        else:
+            fx, fy, fz = fold_reactions_jnp(home, groups)
+        rep = dict(fx=fx, fy=fy, fz=fz)
+        if S:
+            sf = jnp.stack(
+                [jnp.sum(outs[15 + c], axis=(0, 1, 3)) for c in range(3)],
+                axis=-1,
+            )
+            sf = sf + straggler_pair_forces(
+                self.spec, self.g_fn, gs.spos, gs.spid
+            )
+            rep["sforce"] = sf * (gs.spid >= 0)[:, None]
+        return gs.replace(**rep)
+
+    # ------------------------------------------------------------- init
+    def init(self, pos, seed=0, vel=None) -> GridState:
+        gs = pack(self.spec, pos, vel=vel,
+                  key=jax.random.key(seed, impl="rbg"))
+        if vel is None and self.temperature > 0:
+            k1, k2 = jax.random.split(gs.key)
+            sd = float(np.sqrt(self.temperature / self.mass))
+            shape = gs.x.shape
+            m = gs.mask
+            gs = gs.replace(
+                vx=sd * jax.random.normal(k1, shape, jnp.float32) * m,
+                vy=sd * jax.random.normal(
+                    jax.random.fold_in(k1, 1), shape, jnp.float32) * m,
+                vz=sd * jax.random.normal(
+                    jax.random.fold_in(k1, 2), shape, jnp.float32) * m,
+                svel=sd * jax.random.normal(
+                    jax.random.fold_in(k1, 3), gs.svel.shape, jnp.float32
+                ) * (gs.spid >= 0)[:, None],
+                key=k2,
+            )
+        gs = self.compute_forces(gs)
+        # enter the deferred-half-kick convention: w = v - (dt/2m) f
+        hv = np.float32(0.5 * self.dt / self.mass)
+        return gs.replace(
+            vx=gs.vx - hv * gs.fx, vy=gs.vy - hv * gs.fy,
+            vz=gs.vz - hv * gs.fz,
+            svel=gs.svel - hv * gs.sforce,
+        )
+
+    # ------------------------------------------------------------- step
+    def _strag_update(self, gs: GridState, key):
+        """G-J update for the [S] straggler rows (jnp; S is tiny)."""
+        import math
+
+        S = self.spec.n_strag
+        dt = np.float32(self.dt)
+        hv = np.float32(0.5 * self.dt / self.mass)
+        gdt = 0.5 * self.friction * self.dt
+        b = np.float32(1.0 / (1.0 + gdt))
+        a = np.float32((1.0 - gdt) * b)
+        c_x = np.float32(0.5 * b * self.dt / self.mass)
+        mask = (gs.spid >= 0)[:, None]
+        if self.temperature > 0:
+            amp = np.float32(math.sqrt(
+                2.0 * self.temperature * self.friction * self.mass * self.dt
+            ))
+            noise = amp * jax.random.normal(key, (S, 3), jnp.float32)
+        else:
+            noise = jnp.zeros((S, 3), jnp.float32)
+        v = gs.svel + hv * gs.sforce
+        spos = gs.spos + mask * (b * dt * v + c_x * (dt * gs.sforce + noise))
+        svel = mask * (a * v + hv * a * gs.sforce
+                       + (b / np.float32(self.mass)) * noise)
+        return gs.replace(spos=spos, svel=svel)
+
+    def step(self, gs: GridState) -> GridState:
+        spec = self.spec
+        key, k_seed, k_strag = jax.random.split(gs.key, 3)
+        if self.use_fused_update:
+            seed = jax.random.bits(k_seed, dtype=jnp.uint32).astype(jnp.int32)
+            (x, y, z, wx, wy, wz), drift2 = self._update(
+                gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+                gs.fx, gs.fy, gs.fz, gs.ref_x, gs.ref_y, gs.ref_z, seed,
+            )
+        else:
+            (x, y, z, wx, wy, wz), drift2 = gj_update_jnp(
+                spec, self.dt, self.temperature, self.friction, self.mass,
+                gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+                gs.fx, gs.fy, gs.fz, gs.ref_x, gs.ref_y, gs.ref_z, k_seed,
+            )
+        gs = gs.replace(x=x, y=y, z=z, vx=wx, vy=wy, vz=wz, key=key)
+        if spec.n_strag:
+            gs = self._strag_update(gs, k_strag)
+            rebin_fn = rebin_fast2
+        else:
+            rebin_fn = rebin_fast_noforce
+        thr2 = jnp.float32(spec.drift_threshold ** 2)
+        gs = jax.lax.cond(drift2 > thr2, rebin_fn, lambda g: g, gs)
+        return self.compute_forces(gs)
+
+    def _scan_fn(self, n_steps: int):
+        cache = self._scan_cache
+        if n_steps not in cache:
+            step = self.step
+
+            @jax.jit
+            def go(gs):
+                def body(g, _):
+                    return step(g), None
+                out, _ = jax.lax.scan(body, gs, None, length=n_steps)
+                return out
+
+            cache[n_steps] = go
+        return cache[n_steps]
+
+    def run(self, gs: GridState, n_steps: int) -> GridState:
+        return self._scan_fn(n_steps)(gs)
+
+    # ------------------------------------------------------- observables
+    def velocities_of(self, gs: GridState):
+        hv = np.float32(0.5 * self.dt / self.mass)
+        return (
+            (gs.vx + hv * gs.fx) * gs.mask,
+            (gs.vy + hv * gs.fy) * gs.mask,
+            (gs.vz + hv * gs.fz) * gs.mask,
+            (gs.svel + hv * gs.sforce) * (gs.spid >= 0)[:, None],
+        )
+
+    def temperature_of(self, gs: GridState) -> jax.Array:
+        vx, vy, vz, sv = self.velocities_of(gs)
+        ke = 0.5 * self.mass * (
+            jnp.sum(vx**2 + vy**2 + vz**2) + jnp.sum(sv**2)
+        )
+        return 2.0 * ke / (3.0 * gs.n)
+
+
+def make_lj_md2(
+    box_size,
+    n: int,
+    *,
+    epsilon: float = 1.0,
+    sigma: float = 1.0,
+    cutoff: float = 2.5,
+    skin: float = 1.2,
+    dt: float = 0.01,
+    temperature: float = 1.0,
+    friction: float = 1.0,
+    mass: float = 1.0,
+    cap: int | None = None,
+    n_strag: int = 32,
+    interpret: bool | None = None,
+    pos=None,
+) -> GridMD2:
+    """v2 engine on the reference benchmark system
+    (examples/misc/benchmark.cu:172-181)."""
+    spec = choose_spec(box_size, n, cutoff, skin=skin, cap=cap, pos=pos,
+                       n_strag=n_strag)
+    return GridMD2.create(
+        spec, lj_g(epsilon, sigma), dt=dt, temperature=temperature,
+        friction=friction, mass=mass, interpret=interpret,
+    )

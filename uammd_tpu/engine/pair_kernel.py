@@ -300,6 +300,17 @@ def make_pair_channel_kernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Chunk the home axis so the ~12 live [chunk, cap, nlane] pair-block
+    # intermediates across the unrolled 27 offsets stay within VMEM (Mosaic
+    # schedules across the unrolled loop; at cap = 64 the unchunked kernel
+    # spills ~180 MB).
+    budget = 48 * 1024 * 1024 // (27 * 12 * cap * nlane * 4)
+    home_chunk = cap
+    while home_chunk > 8 and home_chunk > budget:
+        home_chunk //= 2
+    if cap % home_chunk != 0:
+        home_chunk = 8
+
     offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
     n_arr = 3 + n_chan  # coordinate + channel arrays
 
@@ -325,13 +336,9 @@ def make_pair_channel_kernel(
             blocks[(dz, dyb)] = arrs
 
         home = blocks[(0, 0)]
-        xi_ = home[0][:, None, :]
-        yi_ = home[1][:, None, :]
-        zi_ = home[2][:, None, :]
-        ch_i = [home[3 + c][:, None, :] for c in range(n_chan)]
 
-        accs = [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_out)]
-
+        # build the 27 candidate blocks once ([cap, nlane] each — cheap)
+        cands = []
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 infold = consts[("infold", dy)]
@@ -355,20 +362,34 @@ def make_pair_channel_kernel(
                             _shift_lanes(src_self[a], s_in, interpret)
                             for a in range(n_arr)
                         ]
-                    cx = cand[0]
                     if consts[("xshift", dx)] is not None:
-                        cx = cx + consts[("xshift", dx)]
-                    dxv = cx[None, :, :] - xi_
-                    dyv = cand[1][None, :, :] - yi_
-                    dzv = cand[2][None, :, :] - zi_
-                    r2 = dxv * dxv + dyv * dyv + dzv * dzv
-                    ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
-                    contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
-                    for o in range(n_out):
-                        accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+                        cand[0] = cand[0] + consts[("xshift", dx)]
+                    cands.append(cand)
 
-        for o in range(n_out):
-            outs[o][0, 0, :, :] = accs[o]
+        def hslice(a, h0):
+            return jax.lax.slice_in_dim(a, h0, h0 + home_chunk, axis=0)
+
+        for h0 in range(0, cap, home_chunk):
+            hs = slice(h0, h0 + home_chunk)
+            xi_ = hslice(home[0], h0)[:, None, :]
+            yi_ = hslice(home[1], h0)[:, None, :]
+            zi_ = hslice(home[2], h0)[:, None, :]
+            ch_i = [hslice(home[3 + c], h0)[:, None, :] for c in range(n_chan)]
+            accs = [
+                jnp.zeros((home_chunk, nlane), jnp.float32)
+                for _ in range(n_out)
+            ]
+            for cand in cands:
+                dxv = cand[0][None, :, :] - xi_
+                dyv = cand[1][None, :, :] - yi_
+                dzv = cand[2][None, :, :] - zi_
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
+                contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+                for o in range(n_out):
+                    accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+            for o in range(n_out):
+                outs[o][0, 0, hs, :] = accs[o]
 
     def block_spec(dz, dyb):
         return pl.BlockSpec(

@@ -301,3 +301,309 @@ def rebin_fast_noforce(gs: GridState) -> GridState:
         pid=pid, ref_x=out[0], ref_y=out[1], ref_z=out[2],
         overflow=overflow,
     )
+
+
+# ---------------------------------------------------------------------------
+# v2: straggler-aware rebin (GridSpec.n_strag > 0)
+# ---------------------------------------------------------------------------
+
+OCAP = 8  # per-cell overflow mini-grid depth (ranks CAP .. CAP+OCAP)
+
+
+def make_rebin_kernel2(spec: GridSpec, n_q: int, *,
+                       interpret: bool | None = None):
+    """Straggler-aware rebin: like make_rebin_kernel, plus
+
+    - a 10th candidate block: the [n_q, S, NLANE] broadcast straggler list
+      (each straggler is a candidate for *every* cell, matched by its
+      computed destination cell — stragglers are global, so the one-cell
+      drift guarantee does not apply to them);
+    - a second output: the [n_q, nz, nyb, OCAP, NLANE] overflow mini-grid
+      holding candidates ranked [CAP, CAP+OCAP) — the *new* straggler set,
+      compacted to a dense [S] list outside (rebin_fast2).
+
+    Returns rebin(stacked, strag_stack) -> (out, mini, count, overflow).
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    S = spec.n_strag
+    assert S > 0
+    Lx, Ly, Lz = (np.float32(s) for s in spec.box_size)
+    fnx, fny, fnz = np.float32(nx), np.float32(ny), np.float32(nz)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
+
+    def kernel(*refs):
+        ins = refs[:9]
+        strag_ref = refs[9]
+        out_ref, mini_ref, count_ref, ovf_ref = refs[10:]
+        zpid = pl.program_id(0)
+        ypid = pl.program_id(1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nlane), 1)
+        my_cx = (lane // F).astype(jnp.float32)
+        my_f = lane - (lane // F) * F
+        my_cy = (ypid * F + my_f).astype(jnp.float32)
+        my_cz = zpid.astype(jnp.float32)
+
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
+        tri = (c_i < r_i).astype(jnp.float32)
+        r_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        c_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        tri_s = (c_s < r_s).astype(jnp.float32)
+        out_r = jax.lax.broadcasted_iota(jnp.int32, (cap, 1, 1), 0).astype(
+            jnp.float32
+        )
+        out_r8 = (
+            jax.lax.broadcasted_iota(jnp.int32, (OCAP, 1, 1), 0).astype(
+                jnp.float32
+            )
+            + np.float32(cap)
+        )
+
+        blocks = {}
+        for k, (dz, dyb) in enumerate(offsets):
+            blk = ins[k][:, 0, 0, :, :]
+            q_list = [blk[q] for q in range(n_q)]
+            if dyb == 1:
+                q_list[1] = q_list[1] + jnp.where(ypid == nyb - 1, Ly, 0.0)
+            elif dyb == -1:
+                q_list[1] = q_list[1] + jnp.where(ypid == 0, -Ly, 0.0)
+            if dz == 1:
+                q_list[2] = q_list[2] + jnp.where(zpid == nz - 1, Lz, 0.0)
+            elif dz == -1:
+                q_list[2] = q_list[2] + jnp.where(zpid == 0, -Lz, 0.0)
+            blocks[(dz, dyb)] = q_list
+
+        acc = [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_q)]
+        acc8 = [jnp.zeros((OCAP, nlane), jnp.float32) for _ in range(n_q)]
+        filled = jnp.zeros((cap, nlane), jnp.float32)
+        filled8 = jnp.zeros((OCAP, nlane), jnp.float32)
+        base_rank = jnp.zeros((1, nlane), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        n_count = jnp.zeros((), jnp.float32)
+
+        def place(cand, tri_mat):
+            nonlocal acc, acc8, filled, filled8, base_rank, overflow, n_count
+            cx_, cy_, cz_ = cand[0], cand[1], cand[2]
+            pidv = cand[n_q - 1]
+            fx_ = cx_ / Lx + 0.5
+            fy_ = cy_ / Ly + 0.5
+            fz_ = cz_ / Lz + 0.5
+            dcx = jnp.floor((fx_ - jnp.floor(fx_)) * fnx)
+            dcy = jnp.floor((fy_ - jnp.floor(fy_)) * fny)
+            dcz = jnp.floor((fz_ - jnp.floor(fz_)) * fnz)
+            valid = (
+                (pidv > 0.5)
+                & (dcx == my_cx)
+                & (dcy == my_cy)
+                & (dcz == my_cz)
+            )
+            vf = valid.astype(jnp.float32)
+            prefix = jax.lax.dot_general(
+                tri_mat, vf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rank = base_rank + prefix
+            base_rank = base_rank + jnp.sum(vf, axis=0, keepdims=True)
+            onehot = (
+                (rank[None, :, :] == out_r) & valid[None, :, :]
+            ).astype(jnp.float32)
+            onehot8 = (
+                (rank[None, :, :] == out_r8) & valid[None, :, :]
+            ).astype(jnp.float32)
+            wx = cx_ - Lx * jnp.round(cx_ / Lx)
+            wy = cy_ - Ly * jnp.round(cy_ / Ly)
+            wz = cz_ - Lz * jnp.round(cz_ / Lz)
+            vals = [wx, wy, wz] + [cand[q] for q in range(3, n_q)]
+            for q in range(n_q):
+                acc[q] = acc[q] + jnp.sum(onehot * vals[q][None, :, :], axis=1)
+                acc8[q] = acc8[q] + jnp.sum(
+                    onehot8 * vals[q][None, :, :], axis=1
+                )
+            filled = filled + jnp.sum(onehot, axis=1)
+            filled8 = filled8 + jnp.sum(onehot8, axis=1)
+            overflow = overflow + jnp.sum(vf * (rank >= cap + OCAP))
+            n_count = n_count + jnp.sum(vf)
+
+        for dz in (-1, 0, 1):
+            for dyc in (-1, 0, 1):
+                f_src = my_f + dyc
+                infold = (f_src >= 0) & (f_src < F)
+                sgn = 0 if dyc == 0 else (1 if dyc > 0 else -1)
+                src_self = blocks[(dz, 0)]
+                src_nbr = blocks[(dz, sgn)] if sgn != 0 else src_self
+                for dxc in (-1, 0, 1):
+                    s_in = dxc * F + dyc
+                    s_out = s_in - sgn * F
+                    if sgn != 0:
+                        cand = [
+                            jnp.where(
+                                infold,
+                                _shift_lanes(src_self[q], s_in, interpret),
+                                _shift_lanes(src_nbr[q], s_out, interpret),
+                            )
+                            for q in range(n_q)
+                        ]
+                    else:
+                        cand = [
+                            _shift_lanes(src_self[q], s_in, interpret)
+                            for q in range(n_q)
+                        ]
+                    if dxc == 1:
+                        cand[0] = cand[0] + jnp.where(my_cx == nx - 1, Lx, 0.0)
+                    elif dxc == -1:
+                        cand[0] = cand[0] + jnp.where(my_cx == 0, -Lx, 0.0)
+                    place(cand, tri)
+
+        # straggler candidates: global, already broadcast across lanes
+        place([strag_ref[q, :, :] for q in range(n_q)], tri_s)
+
+        notfill = filled < 0.5
+        acc[0] = jnp.where(notfill, EMPTY_POS, acc[0])
+        acc[1] = jnp.where(notfill, EMPTY_POS, acc[1])
+        acc[2] = jnp.where(notfill, EMPTY_POS, acc[2])
+        notfill8 = filled8 < 0.5
+        acc8[0] = jnp.where(notfill8, EMPTY_POS, acc8[0])
+        acc8[1] = jnp.where(notfill8, EMPTY_POS, acc8[1])
+        acc8[2] = jnp.where(notfill8, EMPTY_POS, acc8[2])
+        for q in range(n_q):
+            out_ref[q, 0, 0, :, :] = acc[q]
+            mini_ref[q, 0, 0, :, :] = acc8[q]
+        count_ref[0, 0, :, :] = jnp.full((8, 128), n_count)
+        ovf_ref[0, 0, :, :] = jnp.full((8, 128), overflow)
+
+    grid = (nz, nyb)
+
+    def in_spec(dz, dyb):
+        return pl.BlockSpec(
+            (n_q, 1, 1, cap, nlane),
+            functools.partial(_nbr_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [in_spec(dz, dyb) for (dz, dyb) in offsets] + [
+        pl.BlockSpec(
+            (n_q, S, nlane), lambda z, yb: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (n_q, 1, 1, cap, nlane), lambda z, yb: (0, z, yb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_q, 1, 1, OCAP, nlane), lambda z, yb: (0, z, yb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 8, 128), lambda z, yb: (z, yb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 8, 128), lambda z, yb: (z, yb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_q, nz, nyb, cap, nlane), jnp.float32),
+        jax.ShapeDtypeStruct((n_q, nz, nyb, OCAP, nlane), jnp.float32),
+        jax.ShapeDtypeStruct((nz, nyb, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nz, nyb, 8, 128), jnp.float32),
+    ]
+
+    def rebin_stacked(stacked, strag_stack):
+        out, mini, counts, ovf = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*([stacked] * 9 + [strag_stack]))
+        return (
+            out, mini,
+            jnp.sum(counts[:, :, 0, 0]), jnp.sum(ovf[:, :, 0, 0]),
+        )
+
+    return rebin_stacked
+
+
+def _compact_mini(mini, S: int, n: int):
+    """[n_q, nz, nyb, OCAP, NLANE] overflow mini-grid -> dense [S] straggler
+    rows via top_k over the occupancy mask (the only gather is S elements).
+
+    Returns (spos [S,3], svel [S,3], spid [S], count)."""
+    n_q = mini.shape[0]
+    pidf = mini[n_q - 1].reshape(-1)
+    mask = pidf > 0.5
+    count = jnp.sum(mask.astype(jnp.int32))
+    _, idx = jax.lax.top_k(mask.astype(jnp.int32), S)
+    valid = mask[idx]
+    cols = [mini[q].reshape(-1)[idx] for q in range(n_q)]
+    spos = jnp.stack(
+        [jnp.where(valid, cols[d], EMPTY_POS) for d in range(3)], axis=-1
+    )
+    svel = jnp.stack(
+        [jnp.where(valid, cols[3 + d], 0.0) for d in range(3)], axis=-1
+    )
+    spid = jnp.where(valid, cols[n_q - 1].astype(jnp.int32) - 1, -1)
+    return spos, svel, spid, count
+
+
+def rebin_fast2(gs: GridState) -> GridState:
+    """Straggler-aware Pallas rebin: re-absorbs the current straggler list
+    into cells, emits the new overflow set as the next straggler list, drops
+    forces (the v2 engine recomputes them right after the rebin)."""
+    spec = gs.spec
+    S = spec.n_strag
+    kern = _get_kernel2(spec, 7)
+    stacked = jnp.stack(
+        [
+            gs.x, gs.y, gs.z,
+            gs.vx, gs.vy, gs.vz,
+            (gs.pid + 1).astype(jnp.float32),
+        ]
+    )
+    strag = jnp.stack(
+        [
+            gs.spos[:, 0], gs.spos[:, 1], gs.spos[:, 2],
+            gs.svel[:, 0], gs.svel[:, 1], gs.svel[:, 2],
+            (gs.spid + 1).astype(jnp.float32),
+        ]
+    )
+    strag = jnp.broadcast_to(strag[:, :, None], (7, S, spec.nlane))
+    out, mini, count, ovf = kern(stacked, strag)
+    pid = out[6].astype(jnp.int32) - 1
+    spos, svel, spid, s_count = _compact_mini(mini, S, gs.n)
+    overflow = (
+        gs.overflow
+        | (ovf > 0)
+        | (count.astype(jnp.int32) != gs.n)
+        | (s_count > S)
+    )
+    zero = jnp.zeros_like(gs.fx)
+    return gs.replace(
+        x=out[0], y=out[1], z=out[2],
+        vx=out[3], vy=out[4], vz=out[5],
+        fx=zero, fy=zero, fz=zero,
+        pid=pid, ref_x=out[0], ref_y=out[1], ref_z=out[2],
+        overflow=overflow,
+        spos=spos, svel=svel, sforce=jnp.zeros_like(gs.sforce), spid=spid,
+    )
+
+
+def _get_kernel2(spec, n_q):
+    key = (spec, n_q, "v2", jax.default_backend())
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make_rebin_kernel2(spec, n_q)
+    return _KERNEL_CACHE[key]

@@ -61,11 +61,18 @@ def run(
     observe: Callable | None = None,
     observe_every: int = 1,
     initialize: bool = True,
+    guard: bool = False,
 ):
     """Advance ``n_steps`` under one jitted ``lax.scan``.
 
     ``observe(state) -> pytree`` is recorded every ``observe_every`` steps;
     the stacked observations are returned (or None).
+
+    ``guard=True`` checks the final state for non-finite values on the host
+    and raises SimulationError — the release-mode NaN canary (the reference
+    keeps NaN checks even outside UAMMD_DEBUG, CellListBase.cuh:258; a
+    non-finite force inside a compiled scan would otherwise poison the whole
+    chunk silently). Cost: one device fetch after the scan.
     """
     if initialize:
         state, aux = integrator.init(state, aux)
@@ -76,6 +83,8 @@ def run(
             return (s, a), None
 
         (state, aux), _ = jax.lax.scan(body, (state, aux), None, length=n_steps)
+        if guard:
+            _guard_finite(state)
         return state, aux, None
 
     assert n_steps % observe_every == 0
@@ -91,7 +100,22 @@ def run(
     (state, aux), obs = jax.lax.scan(
         outer, (state, aux), None, length=n_steps // observe_every
     )
+    if guard:
+        _guard_finite(state)
     return state, aux, obs
+
+
+def _guard_finite(state: SimState) -> None:
+    import numpy as _np
+
+    from ..core.logging import SimulationError
+
+    for name in ("pos", "vel", "force"):
+        v = getattr(state, name, None)
+        if v is not None and not bool(_np.all(_np.isfinite(jax.device_get(v)))):
+            raise SimulationError(
+                f"non-finite values in state.{name} after run()"
+            )
 
 
 def advance_time(state: SimState, dt) -> SimState:

@@ -44,8 +44,27 @@ from ...solvers.chebyshev import clenshaw_curtis_weights, lobatto_points
 from ...solvers.lanczos import lanczos_sqrt_apply
 
 
-def _build_stokes_ops(nz, H, kxs, kys, viscosity):
-    """Host precompute: [nk, 4nz, 4nz] complex inverses."""
+def _build_stokes_ops(nz, H, kxs, kys, viscosity, mode="slit"):
+    """Host precompute: [nk, 4nz, 4nz] complex inverses.
+
+    ``mode`` selects the z boundary conditions (reference:
+    DPStokesSlab.cuh:141 WallMode {slit, bottom, none}; the reference
+    realizes bottom/open as analytical image corrections on the unbounded
+    solve, StokesSlab/Correction.cuh — here they are *direct* boundary rows
+    of the collocation operator):
+
+    - ``slit``: no-slip walls at z = +-H/2;
+    - ``bottom``: no-slip wall at z = -H/2, open above — the exterior
+      force-free Stokes solution decaying as e^{-k z} is eliminated
+      analytically, leaving Robin rows at the top node:
+          Du + k u + (i k_x / (2 eta k)) p = 0   (v analogous)
+          Dw + k w -  p / (2 eta)          = 0
+    - ``open``: open on both sides (mirrored Robin rows below); the k = 0
+      mode has no decaying solution under net force and is zeroed, exactly
+      like the triply periodic solvers' k = 0 convention.
+
+    Lobatto ordering: node 0 = +H/2 (top), node nz-1 = -H/2 (bottom).
+    """
     D = cheb_derivative_matrix(nz, H / 2.0)
     D2 = D @ D
     eye = np.eye(nz)
@@ -53,10 +72,12 @@ def _build_stokes_ops(nz, H, kxs, kys, viscosity):
     ky = np.asarray(kys).ravel()
     nk = kx.shape[0]
     ops = np.empty((nk, 4 * nz, 4 * nz), np.complex128)
+    eta = viscosity
     for i in range(nk):
         k2 = kx[i] ** 2 + ky[i] ** 2
+        k = math.sqrt(k2)
         A = np.zeros((4 * nz, 4 * nz), np.complex128)
-        L = viscosity * (D2 - k2 * eye)
+        L = eta * (D2 - k2 * eye)
         sl = [slice(0, nz), slice(nz, 2 * nz), slice(2 * nz, 3 * nz),
               slice(3 * nz, 4 * nz)]
         A[sl[0], sl[0]] = L
@@ -68,17 +89,64 @@ def _build_stokes_ops(nz, H, kxs, kys, viscosity):
         A[sl[3], sl[0]] = 1j * kx[i] * eye
         A[sl[3], sl[1]] = 1j * ky[i] * eye
         A[sl[3], sl[2]] = D
-        # no-slip BCs replace the wall rows of each velocity block
-        for b in range(3):
-            A[sl[b]][0, :] = 0.0  # placeholder; set below properly
-        for b in range(3):
+
+        if mode == "open" and k2 == 0:
+            ops[i] = 0.0  # zero the k=0 mode: inv_op @ rhs == 0
+            continue
+
+        kcs = (kx[i], ky[i], None)  # pressure coupling per velocity block
+
+        def dirichlet(row, col):
+            A[row, :] = 0.0
+            A[row, col] = 1.0
+
+        def robin_top(b):
             r0 = b * nz
             A[r0, :] = 0.0
-            A[r0, r0] = 1.0
-            A[r0 + nz - 1, :] = 0.0
-            A[r0 + nz - 1, r0 + nz - 1] = 1.0
+            A[r0, sl[b]] = D[0, :]
+            A[r0, r0] += k
+            if b < 2:
+                A[r0, 3 * nz] = 1j * kcs[b] / (2.0 * eta * k)
+            else:
+                A[r0, 3 * nz] = -1.0 / (2.0 * eta)
+
+        def robin_bottom(b):
+            r1 = b * nz + nz - 1
+            A[r1, :] = 0.0
+            A[r1, sl[b]] = D[nz - 1, :]
+            A[r1, r1] -= k
+            if b < 2:
+                A[r1, 4 * nz - 1] = -1j * kcs[b] / (2.0 * eta * k)
+            else:
+                A[r1, 4 * nz - 1] = 1.0 / (2.0 * eta)
+
+        for b in range(3):
+            r0, r1 = b * nz, b * nz + nz - 1
+            # top boundary
+            if mode == "slit":
+                dirichlet(r0, r0)
+            elif k2 == 0:
+                # open top, k = 0: decay requires zero shear (u, v); w = 0
+                A[r0, :] = 0.0
+                if b < 2:
+                    A[r0, sl[b]] = D[0, :]
+                else:
+                    A[r0, r0] = 1.0
+            else:
+                robin_top(b)
+            # bottom boundary
+            if mode in ("slit", "bottom"):
+                dirichlet(r1, r1)
+            elif k2 == 0:  # open bottom, k = 0
+                A[r1, :] = 0.0
+                if b < 2:
+                    A[r1, sl[b]] = D[nz - 1, :]
+                else:
+                    A[r1, r1] = 1.0
+            else:
+                robin_bottom(b)
         if k2 == 0:
-            # pressure gauge: fix p at the bottom wall
+            # pressure gauge: fix p at the bottom node
             A[4 * nz - 1, :] = 0.0
             A[4 * nz - 1, 4 * nz - 1] = 1.0
         ops[i] = np.linalg.inv(A)
@@ -95,10 +163,12 @@ class DPStokes:
     box_size: tuple
     support: int
     inv_ops: jax.Array  # [nk, 4nz, 4nz] complex64
+    mode: str = "slit"  # slit | bottom | open (DPStokesSlab.cuh WallMode)
 
     @staticmethod
     def create(box, viscosity=1.0, radius=1.0, points_per_radius=2.0,
-               nz=None, support=10):
+               nz=None, support=10, mode="slit"):
+        assert mode in ("slit", "bottom", "open"), mode
         Ls = [float(s) for s in jax.device_get(box.size)]
         shape = tuple(
             next_fft_size(max(16, int(L * points_per_radius / radius)))
@@ -109,16 +179,22 @@ class DPStokes:
         kx = 2 * math.pi * np.fft.fftfreq(shape[0], d=Ls[0] / shape[0])
         ky = 2 * math.pi * np.fft.rfftfreq(shape[1], d=Ls[1] / shape[1])
         KX, KY = np.meshgrid(kx, ky, indexing="ij")
-        ops = _build_stokes_ops(nz, Ls[2], KX, KY, viscosity)
+        ops = _build_stokes_ops(nz, Ls[2], KX, KY, viscosity, mode=mode)
         return DPStokes(
             box=box, viscosity=viscosity, radius=radius, shape=shape, nz=nz,
-            box_size=tuple(Ls), support=support,
+            box_size=tuple(Ls), support=support, mode=mode,
             inv_ops=jnp.asarray(ops, jnp.complex64),
         )
 
     @property
     def sigma(self):
         return self.radius / math.sqrt(math.pi)
+
+    @property
+    def sigma_torque(self):
+        """Rotlet width making M_rr(self) = 1/(8 pi eta a^3) in the bulk
+        (same choice as fcm.FCM.sigma_torque)."""
+        return self.radius / (6.0 * math.sqrt(math.pi)) ** (1.0 / 3.0)
 
     def _zw(self, dtype):
         z = lobatto_points(self.nz, self.box_size[2] / 2.0)
@@ -186,6 +262,87 @@ class DPStokes:
         zquad = phi_z * w_cc[None, :]  # [N, nz]
         return jnp.einsum("nab,nz,nabzc->nc", w_xy, zquad, vals)
 
+    def _torque_weights(self, pos, dtype):
+        """Separable rotlet-kernel values and field-coordinate gradients
+        (all offsets are node - particle)."""
+        nx, ny = self.shape
+        hx = self.box_size[0] / nx
+        hy = self.box_size[1] / ny
+        s = self.support
+        sig = self.sigma_torque
+        u = jnp.stack(
+            [pos[:, 0] / hx + 0.5 * nx - 0.5, pos[:, 1] / hy + 0.5 * ny - 0.5],
+            -1,
+        )
+        base = jnp.round(u).astype(jnp.int32) - s // 2
+        off = jnp.arange(s)
+        dxp = (base[:, 0, None] + off - u[:, 0, None]) * hx
+        dyp = (base[:, 1, None] + off - u[:, 1, None]) * hy
+        wx = jnp.exp(-0.5 * (dxp / sig) ** 2)
+        wy = jnp.exp(-0.5 * (dyp / sig) ** 2)
+        dwx = -(dxp / sig**2) * wx
+        dwy = -(dyp / sig**2) * wy
+        gx = jnp.mod(base[:, 0, None] + off, nx)
+        gy = jnp.mod(base[:, 1, None] + off, ny)
+        z, w_cc = self._zw(dtype)
+        dz = z[None, :] - pos[:, 2:3]
+        phi_z = jnp.exp(-0.5 * (dz / sig) ** 2) / (
+            sig * math.sqrt(2.0 * math.pi)
+        )
+        dphi_z = -(dz / sig**2) * phi_z
+        norm = hx * hy / (2.0 * math.pi * sig * sig)
+        return gx, gy, wx, dwx, wy, dwy, phi_z, dphi_z, w_cc, norm, hx, hy
+
+    def spread_torque(self, pos, torques):
+        """Rotlet spreading: f += (1/2) grad(phi_tau) x torque (reference:
+        DPStokesSlab torque path via kernel-derivative spreading,
+        StokesSlab/spreadInterp with BM kernel derivatives)."""
+        dtype = torques.dtype
+        nx, ny = self.shape
+        (gx, gy, wx, dwx, wy, dwy, phi_z, dphi_z, w_cc, norm, hx, hy) = (
+            self._torque_weights(pos, dtype)
+        )
+        s = self.support
+        npart = pos.shape[0]
+        c = norm / (hx * hy)
+        # gradient components [N, s, s, nz]
+        gpx = c * dwx[:, :, None, None] * wy[:, None, :, None] * phi_z[:, None, None, :]
+        gpy = c * wx[:, :, None, None] * dwy[:, None, :, None] * phi_z[:, None, None, :]
+        gpz = c * wx[:, :, None, None] * wy[:, None, :, None] * dphi_z[:, None, None, :]
+        tx, ty, tz = (torques[:, i, None, None, None] for i in range(3))
+        f = 0.5 * jnp.stack(
+            [gpy * tz - gpz * ty, gpz * tx - gpx * tz, gpx * ty - gpy * tx],
+            axis=-1,
+        )  # [N, s, s, nz, 3]
+        field = jnp.zeros((nx, ny, self.nz, 3), dtype)
+        ix = jnp.broadcast_to(gx[:, :, None], (npart, s, s)).reshape(-1)
+        iy = jnp.broadcast_to(gy[:, None, :], (npart, s, s)).reshape(-1)
+        return field.at[ix, iy].add(f.reshape(-1, self.nz, 3))
+
+    def interpolate_angular(self, pos, field):
+        """omega = (1/2) J curl(u) = -(1/2) sum grad(phi_tau) x u (adjoint
+        of spread_torque under the hx hy w_cc quadrature)."""
+        dtype = field.dtype
+        (gx, gy, wx, dwx, wy, dwy, phi_z, dphi_z, w_cc, norm, hx, hy) = (
+            self._torque_weights(pos, dtype)
+        )
+        s = self.support
+        npart = pos.shape[0]
+        vals = field[
+            jnp.broadcast_to(gx[:, :, None], (npart, s, s)),
+            jnp.broadcast_to(gy[:, None, :], (npart, s, s)),
+        ]  # [N, s, s, nz, 3]
+        zq = phi_z * w_cc[None, :]
+        dzq = dphi_z * w_cc[None, :]
+        gpx = norm * dwx[:, :, None, None] * wy[:, None, :, None] * zq[:, None, None, :]
+        gpy = norm * wx[:, :, None, None] * dwy[:, None, :, None] * zq[:, None, None, :]
+        gpz = norm * wx[:, :, None, None] * wy[:, None, :, None] * dzq[:, None, None, :]
+        ux, uy, uz = vals[..., 0], vals[..., 1], vals[..., 2]
+        wxv = -0.5 * jnp.sum(gpy * uz - gpz * uy, axis=(1, 2, 3))
+        wyv = -0.5 * jnp.sum(gpz * ux - gpx * uz, axis=(1, 2, 3))
+        wzv = -0.5 * jnp.sum(gpx * uy - gpy * ux, axis=(1, 2, 3))
+        return jnp.stack([wxv, wyv, wzv], axis=-1)
+
     def solve_grid(self, f_grid):
         """f_grid [nx,ny,nz,3] -> velocity grid [nx,ny,nz,3]."""
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1))  # [nx, nyk, nz, 3]
@@ -208,8 +365,18 @@ class DPStokes:
         )
         return jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1))
 
-    def compute_mf(self, pos, forces):
-        return self.interpolate(pos, self.solve_grid(self.spread(pos, forces)))
+    def compute_mf(self, pos, forces, torques=None):
+        """M F (and, with torques, the full grand-mobility product
+        -> (v, omega); reference: DPStokes::Mdot with forces and torques,
+        DPStokesSlab.cuh:141)."""
+        f_grid = self.spread(pos, forces)
+        if torques is not None:
+            f_grid = f_grid + self.spread_torque(pos, torques)
+        u = self.solve_grid(f_grid)
+        v = self.interpolate(pos, u)
+        if torques is None:
+            return v
+        return v, self.interpolate_angular(pos, u)
 
     def compute_bdw(self, pos, key, iterations: int = 24):
         def mv(x):
@@ -219,5 +386,58 @@ class DPStokes:
         out, _ = lanczos_sqrt_apply(mv, z, m=iterations)
         return out.reshape(-1, 3)
 
+    def compute_bdw_grand(self, pos, key, iterations: int = 32):
+        """sqrt of the grand (translation + rotation) mobility applied to
+        white noise: returns (v_noise [N,3], omega_noise [N,3])."""
+        n = pos.shape[0]
+
+        def mv(x):
+            f = x[: 3 * n].reshape(-1, 3)
+            t = x[3 * n:].reshape(-1, 3)
+            v, w = self.compute_mf(pos, f, t)
+            return jnp.concatenate([v.reshape(-1), w.reshape(-1)])
+
+        z = jax.random.normal(key, (6 * n,), pos.dtype)
+        out, _ = lanczos_sqrt_apply(mv, z, m=iterations)
+        return out[: 3 * n].reshape(-1, 3), out[3 * n:].reshape(-1, 3)
+
     def divergence(self, pos):
         return jnp.zeros_like(pos)
+
+
+def dpstokes_em(
+    force_fn,
+    dps: DPStokes,
+    dt: float,
+    temperature: float = 0.0,
+    lanczos_iterations: int = 24,
+):
+    """Euler-Maruyama integrator over the DPStokes mobility with Lanczos
+    thermal noise — the reference's DPStokesIntegrator
+    (DPStokesSlab.cuh:424): dX = M F dt + sqrt(2 kT dt) sqrt(M) dW.
+
+    Particles must stay inside the slab; walls are free-slip to particles
+    only through hydrodynamics (add a repulsive ExternalForces wall to keep
+    them off the boundary, as the reference examples do).
+    """
+    from ...core.state import next_key
+    from ..base import Integrator, advance_time
+
+    def init(state, aux):
+        if state.force is None:
+            state = state.replace(force=jnp.zeros_like(state.pos))
+        return state, aux
+
+    def step(state, aux):
+        h = jnp.asarray(dt, state.dtype)
+        fev, aux = force_fn(state, aux)
+        dx = h * dps.compute_mf(state.pos, fev.force)
+        if temperature > 0:
+            state, k = next_key(state)
+            bdw = dps.compute_bdw(state.pos, k, iterations=lanczos_iterations)
+            dx = dx + jnp.sqrt(2.0 * temperature * h) * bdw
+        return advance_time(
+            state.replace(pos=state.pos + dx, force=fev.force), dt
+        ), aux
+
+    return Integrator(init=init, step=step)

@@ -110,9 +110,22 @@ class FCM:
     def sigma(self) -> float:
         return self.radius / math.sqrt(math.pi)
 
+    @property
+    def sigma_torque(self) -> float:
+        """Rotlet Gaussian width: sigma_tau = a / (6 sqrt(pi))^(1/3) makes
+        the rotational self-mobility exactly 1/(8 pi eta a^3) — the classic
+        FCM dipole width (reference: FCM_kernels.cuh separate torque kernel;
+        Lomholt & Maxey)."""
+        return self.radius / (6.0 * math.sqrt(math.pi)) ** (1.0 / 3.0)
+
     def _kernel(self, dtype=jnp.float32):
         h = self.box_size[0] / self.shape[0]
         return GaussianKernel(sigma=self.sigma / h, support=self.support)
+
+    def _kernel_torque(self, dtype=jnp.float32):
+        h = self.box_size[0] / self.shape[0]
+        return GaussianKernel(sigma=self.sigma_torque / h,
+                              support=self.support)
 
     def _project(self, fk, kx, ky, kz):
         """(I - k^k^)/ (eta k^2) applied to the k-space force [.., 3]
@@ -142,8 +155,9 @@ class FCM:
         return jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2)), kern
 
     def compute_mf(self, pos, forces):
-        u, kern = self.grid_velocity(pos, forces)
-        return interpolate(kern, pos, u, self.box)
+        with jax.named_scope("uammd.fcm.compute_mf"):
+            u, kern = self.grid_velocity(pos, forces)
+            return interpolate(kern, pos, u, self.box)
 
     def compute_hydrodynamic_displacements(self, pos, forces, torques=None):
         """Linear (and angular) velocities from forces (and torques).
@@ -156,11 +170,12 @@ class FCM:
         reference offers a separate torque width; that refinement is a
         parameter away)."""
         kern = self._kernel(pos.dtype)
+        kern_t = self._kernel_torque(pos.dtype)
         f_grid = spread(kern, pos, forces, self.shape, self.box)
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, pos.dtype)
         if torques is not None:
-            t_grid = spread(kern, pos, torques, self.shape, self.box)
+            t_grid = spread(kern_t, pos, torques, self.shape, self.box)
             tk = jnp.fft.rfftn(t_grid, axes=(0, 1, 2))
             # add (i/2) k x tau
             fk = fk + 0.5j * jnp.stack(
@@ -185,7 +200,71 @@ class FCM:
             -1,
         )
         w = jnp.fft.irfftn(wk, s=self.shape, axes=(0, 1, 2))
-        omega = interpolate(kern, pos, w, self.box)
+        omega = interpolate(kern_t, pos, w, self.box)
+        return v, omega
+
+    def compute_mf_bdw_torques(self, pos, forces, torques, key, noise_amp):
+        """(M [F; T] + noise_amp * sqrt(M) dW) for the coupled translation-
+        rotation grid mobility, in one spectral pass: the fluctuating grid
+        velocity field u = u_det + noise is interpolated once with the
+        monopole kernel (linear velocity) and once through the half-curl +
+        rotlet kernel (angular velocity) — the reference's fused
+        computeHydrodynamicDisplacements with torques (FCM_impl.cuh:654-693).
+        Fluctuation-dissipation holds jointly because the same adjoint pairs
+        (S, J) and (S_tau, J_tau) build both M and the noise."""
+        dtype = pos.dtype
+        kern = self._kernel(dtype)
+        kern_t = self._kernel_torque(dtype)
+        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
+        kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
+        t_grid = spread(kern_t, pos, torques, self.shape, self.box)
+        tk = jnp.fft.rfftn(t_grid, axes=(0, 1, 2))
+        fk = fk + 0.5j * jnp.stack(
+            [
+                ky * tk[..., 2] - kz * tk[..., 1],
+                kz * tk[..., 0] - kx * tk[..., 2],
+                kx * tk[..., 1] - ky * tk[..., 0],
+            ],
+            -1,
+        )
+        uk = self._project(fk, kx, ky, kz)
+        if noise_amp:
+            Ls = self.box_size
+            dV = float(np.prod(np.asarray(Ls)) / np.prod(self.shape))
+            wn = jax.random.normal(
+                key, tuple(self.shape) + (3,), dtype
+            ) / math.sqrt(dV)
+            wnk = jnp.fft.rfftn(wn, axes=(0, 1, 2))
+            k2 = kx * kx + ky * ky + kz * kz
+            k2s = jnp.where(k2 > 0, k2, 1.0)
+            kdotw = (kx * wnk[..., 0] + ky * wnk[..., 1] + kz * wnk[..., 2])
+            scale = noise_amp / jnp.sqrt(self.viscosity * k2s)
+            env2 = self._envelope2(kx, ky, kz)
+            if env2 is not None:
+                scale = scale * jnp.sqrt(env2)
+            bk = jnp.stack(
+                [
+                    jnp.where(k2 == 0, 0,
+                              scale * (wnk[..., c]
+                                       - (kx, ky, kz)[c] * kdotw / k2s))
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+            uk = uk + bk
+        u = jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
+        v = interpolate(kern, pos, u, self.box)
+        wk = 0.5j * jnp.stack(
+            [
+                ky * uk[..., 2] - kz * uk[..., 1],
+                kz * uk[..., 0] - kx * uk[..., 2],
+                kx * uk[..., 1] - ky * uk[..., 0],
+            ],
+            -1,
+        )
+        w = jnp.fft.irfftn(wk, s=self.shape, axes=(0, 1, 2))
+        omega = interpolate(kern_t, pos, w, self.box)
         return v, omega
 
     def compute_mf_bdw(self, pos, forces, key, noise_amp):

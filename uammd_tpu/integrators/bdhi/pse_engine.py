@@ -254,8 +254,10 @@ class PSEGrid:
         spectral pass (the whole EM right-hand side; reference:
         BDHI_EulerMaruyama.cu:145-165 fused)."""
         amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
-        cg = pack_channels(self.spec, pos, forces)
-        vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
+        with jax.named_scope("uammd.pse.pack"):
+            cg = pack_channels(self.spec, pos, forces)
+        with jax.named_scope("uammd.pse.near_mf"):
+            vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
         if temperature > 0:
             k1, k2 = jax.random.split(key)
             bx, by, bz, _ = self._near_noise_slots(cg, k2)

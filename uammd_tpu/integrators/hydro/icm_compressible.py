@@ -16,10 +16,19 @@ part), Peskin 3-point particle coupling and midpoint particle updates.
 Design deviation (documented): collocated grid with spectral derivatives
 instead of the reference's staggered MAC differences — same equations, and
 on TPU the FFT-based derivatives reuse the engine every other module uses.
-Walls/ghost cells (ICM_Compressible/GhostCells) are not yet ported: periodic
-only. The fluctuating stress is held fixed across the RK substeps (the
-reference redraws with Wiener weights; the difference is O(dt) in weak
-order for these observables).
+The fluctuating stress is held fixed across the RK substeps (the reference
+redraws with Wiener weights; the difference is O(dt) in weak order for
+these observables).
+
+Walls (``walls=True``): no-slip walls at z = +-Lz/2 via ghost-cell mirror
+extensions — the TPU analog of the reference's GhostCells layer
+(ICM_Compressible/GhostCells): velocities extend odd (v = 0 at the wall
+face), density/pressure even (zero normal gradient). With walls the z
+derivatives switch to second-order centered differences on the padded
+array (x, y stay periodic rolls); wall-adjacent fluctuating-stress
+weighting is not replicated (deterministic wall physics — Poiseuille,
+shear-wave impedance — is exact to the scheme's order; thermal spectra
+within ~one cell of the wall are approximate).
 """
 
 from __future__ import annotations
@@ -57,6 +66,7 @@ class ICMCompressible:
     temperature: float = 0.0
     dt: float = 0.01
     kernel: object = Peskin3pt()
+    walls: bool = False  # no-slip walls at z = +-Lz/2 (ghost-cell mirrors)
 
     @staticmethod
     def create(box, cells, **kw):
@@ -103,18 +113,83 @@ class ICMCompressible:
         k2 = (kx * kx + ky * ky + kz * kz)[..., None]
         return jnp.fft.irfftn(-k2 * vk, s=self.shape, axes=(0, 1, 2))
 
+    # ------------------------------------------------ wall (FD) operators
+    def _h(self):
+        return [L / n for L, n in zip(self.box_size, self.shape)]
+
+    @staticmethod
+    def _pad_z(a, parity):
+        """Ghost-cell mirror extension along z (axis 2): parity -1 for
+        velocity components (no-slip: value -> 0 at the wall face), +1 for
+        density/pressure (zero normal gradient)."""
+        return jnp.concatenate(
+            [parity * a[:, :, :1], a, parity * a[:, :, -1:]], axis=2
+        )
+
+    def _ddz_fd(self, a, parity):
+        p = self._pad_z(a, parity)
+        return (p[:, :, 2:] - p[:, :, :-2]) / (2.0 * self._h()[2])
+
+    def _dd_fd(self, a, axis):
+        h = self._h()[axis]
+        return (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) / (2.0 * h)
+
+    def _div_fd(self, v, parity_z):
+        """div of a vector field; parity_z = z-mirror parity of v[..., 2]."""
+        return (
+            self._dd_fd(v[..., 0], 0)
+            + self._dd_fd(v[..., 1], 1)
+            + self._ddz_fd(v[..., 2], parity_z)
+        )
+
+    def _grad_fd(self, s, parity):
+        return jnp.stack(
+            [self._dd_fd(s, 0), self._dd_fd(s, 1), self._ddz_fd(s, parity)],
+            -1,
+        )
+
+    def _lap_fd(self, v, parity):
+        hx, hy, hz = self._h()
+        out = []
+        for c in range(v.shape[-1]):
+            a = v[..., c]
+            lap = (
+                (jnp.roll(a, -1, 0) + jnp.roll(a, 1, 0) - 2 * a) / hx**2
+                + (jnp.roll(a, -1, 1) + jnp.roll(a, 1, 1) - 2 * a) / hy**2
+            )
+            p = self._pad_z(a, parity)
+            lap = lap + (p[:, :, 2:] + p[:, :, :-2] - 2 * a) / hz**2
+            out.append(lap)
+        return jnp.stack(out, -1)
+
     def _rhs(self, fluid: CompressibleFluid, f_ext, sigma_div):
         rho = fluid.rho
         v = fluid.g / rho[..., None]
-        drho = -self._div(fluid.g)
-        adv = jnp.stack(
-            [self._div(fluid.g * v[..., a:a + 1]) for a in range(3)], -1
-        )
         p = self.speed_of_sound**2 * rho
-        visc = self.shear_viscosity * self._lap(v) + (
-            self.bulk_viscosity + self.shear_viscosity / 3.0
-        ) * self._grad(self._div(v))
-        dg = -adv - self._grad(p) + visc + f_ext
+        if self.walls:
+            drho = -self._div_fd(fluid.g, parity_z=-1)
+            # advective flux rows g_a * v: both factors odd in z -> even
+            adv = jnp.stack(
+                [
+                    self._div_fd(fluid.g * v[..., a:a + 1], parity_z=+1)
+                    for a in range(3)
+                ],
+                -1,
+            )
+            divv = self._div_fd(v, parity_z=-1)  # even scalar
+            visc = self.shear_viscosity * self._lap_fd(v, parity=-1) + (
+                self.bulk_viscosity + self.shear_viscosity / 3.0
+            ) * self._grad_fd(divv, parity=+1)
+            dg = -adv - self._grad_fd(p, parity=+1) + visc + f_ext
+        else:
+            drho = -self._div(fluid.g)
+            adv = jnp.stack(
+                [self._div(fluid.g * v[..., a:a + 1]) for a in range(3)], -1
+            )
+            visc = self.shear_viscosity * self._lap(v) + (
+                self.bulk_viscosity + self.shear_viscosity / 3.0
+            ) * self._grad(self._div(v))
+            dg = -adv - self._grad(p) + visc + f_ext
         if sigma_div is not None:
             dg = dg + sigma_div
         return drho, dg
@@ -133,6 +208,11 @@ class ICMCompressible:
         sigma = amp_sh * (sym - jnp.trace(sym, axis1=-2, axis2=-1)[..., None, None] * eye / 3.0)
         wtr = jax.random.normal(k2, tuple(self.shape), dtype)
         sigma = sigma + amp_bk * wtr[..., None, None] * eye / math.sqrt(3.0)
+        if self.walls:
+            return jnp.stack(
+                [self._div_fd(sigma[..., a, :], parity_z=+1) for a in range(3)],
+                -1,
+            )
         sk = jnp.fft.rfftn(sigma, axes=(0, 1, 2))
         kx, ky, kz = self._k(dtype)
         div = 1j * (

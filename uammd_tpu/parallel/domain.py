@@ -146,3 +146,223 @@ def shard_grid_state(gs, mesh, axis: str = "z", seed: int = 0):
     )
     keys = jax.device_put(keys, sharding)
     return arrays, keys
+
+
+# ---------------------------------------------------------------------------
+# v2: domain decomposition with cross-shard rebinning (particle migration)
+# ---------------------------------------------------------------------------
+
+
+def _local_rebin(spec: GridSpec, nz_loc, n_dev, axis, halo_extend,
+                 x, y, z, vx, vy, vz, pidf):
+    """Shard-local rebin with migration: pull every particle (own slab +
+    both neighbor boundary slabs via the halo) whose *current* cell lands in
+    my z-slab, and re-bin into local cells with the two-sort filler
+    algorithm (layout._bin_columns). Particles move at most one cell between
+    rebins (half-skin trigger), so one halo slab is exactly enough — the
+    migration guarantee the module docstring sketches.
+
+    pidf carries pid+1 as float32 (0 = empty). Returns rebinned arrays +
+    (count, overflow) scalars for the global bookkeeping.
+    """
+    import dataclasses as _dc
+
+    from ..engine.layout import _bin_columns
+
+    nx, ny, _ = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    Ls = spec.box_size
+    local_spec = _dc.replace(spec, shape=(nx, ny, nz_loc))
+
+    # halo-extend the 7 quantities in one stacked ppermute pair
+    stacked = jnp.stack([x, y, z, vx, vy, vz, pidf])
+    ext = halo_extend(stacked, stacked_axis=1)
+
+    xe, ye, ze = ext[0], ext[1], ext[2]
+    valid = ext[6] > 0.5
+    # wrap into the primary box
+    xw = jnp.where(valid, xe - Ls[0] * jnp.round(xe / Ls[0]), EMPTY_POS)
+    yw = jnp.where(valid, ye - Ls[1] * jnp.round(ye / Ls[1]), EMPTY_POS)
+    zw = jnp.where(valid, ze - Ls[2] * jnp.round(ze / Ls[2]), EMPTY_POS)
+
+    def cell_of(p, L, ncell):
+        frac = p / L + 0.5
+        frac = frac - jnp.floor(frac)
+        return jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+
+    cx = cell_of(xw, jnp.float32(Ls[0]), nx)
+    cy = cell_of(yw, jnp.float32(Ls[1]), ny)
+    cz = cell_of(zw, jnp.float32(Ls[2]), spec.shape[2])
+    z0 = jax.lax.axis_index(axis) * nz_loc
+    mine = valid & (cz >= z0) & (cz < z0 + nz_loc)
+    yb = cy // F
+    lane = cx * F + (cy - yb * F)
+    key = ((cz - z0) * nyb + yb) * nlane + lane
+    ncell_loc = nz_loc * nyb * nlane
+    key = jnp.where(mine, key, ncell_loc)
+
+    cols = tuple(
+        a.reshape(-1)
+        for a in (xw, yw, zw, ext[3], ext[4], ext[5], ext[6])
+    )
+    fills = (None, None, None, 0.0, 0.0, 0.0, 0.0)
+    binned, _, ovf = _bin_columns(
+        local_spec, key.reshape(-1), cols, 0, fills=fills
+    )
+    count = jnp.sum((binned[6] > 0.5).astype(jnp.int32))
+    return binned, count, ovf
+
+
+def make_domain_md_step2(
+    mesh: Mesh,
+    spec: GridSpec,
+    *,
+    epsilon: float = 1.0,
+    sigma: float = 1.0,
+    dt: float = 0.005,
+    temperature: float = 1.0,
+    friction: float = 1.0,
+    axis: str = "z",
+    interpret: bool | None = None,
+    n_total: int | None = None,
+):
+    """Domain-decomposed MD step WITH drift-triggered cross-shard rebinning.
+
+    step(state_tuple) -> state_tuple over
+    (x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz, pidf, ovf, keys):
+    grid arrays z-sharded, pidf = pid+1 as float32, ovf a per-shard latching
+    overflow/lost-particle flag ([n_dev] float32), keys [n_dev, ...] PRNG.
+
+    The drift criterion is evaluated globally (pmax) so all shards rebin in
+    the same step — the lax.cond predicate is uniform across the mesh.
+    """
+    n_dev = mesh.devices.size
+    nz = spec.shape[2]
+    assert nz % n_dev == 0, "nz must divide the mesh for z-sharding"
+    nz_loc = nz // n_dev
+    Lz = np.float32(spec.box_size[2])
+    thr2 = np.float32(spec.drift_threshold ** 2)
+
+    from ..engine.md import lj_g
+
+    local_spec = dataclasses.replace(
+        spec, shape=(spec.shape[0], spec.shape[1], nz_loc + 2)
+    )
+    kern = make_pair_force_kernel(
+        local_spec, lj_g(epsilon, sigma), interpret=interpret,
+        periodic_z=False,
+    )
+
+    def halo_extend(a, shift_lo=0.0, shift_hi=0.0, stacked_axis=0):
+        ax = stacked_axis
+        up = jax.lax.ppermute(
+            jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax),
+            axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        down = jax.lax.ppermute(
+            jax.lax.slice_in_dim(a, 0, 1, axis=ax),
+            axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        idx = jax.lax.axis_index(axis)
+        if shift_lo or shift_hi:
+            up = up + jnp.where(idx == 0, shift_lo, 0.0)
+            down = down + jnp.where(idx == n_dev - 1, shift_hi, 0.0)
+        return jnp.concatenate([up, a, down], axis=ax)
+
+    def step_shard(x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz,
+                   pidf, ovf, key_data):
+        key = jax.random.wrap_key_data(key_data[0])
+        key, sub = jax.random.split(key)
+        mask = (pidf > 0.5).astype(x.dtype)
+        gdt = np.float32(0.5 * friction * dt)
+        b = np.float32(1.0 / (1.0 + gdt))
+        a_ = np.float32((1.0 - gdt) * b)
+        h = np.float32(dt)
+        if temperature > 0:
+            amp = np.float32(math.sqrt(2.0 * temperature * friction * dt))
+            nx_ = amp * jax.random.normal(sub, x.shape, x.dtype)
+            ny_ = amp * jax.random.normal(
+                jax.random.fold_in(sub, 1), x.shape, x.dtype)
+            nz_ = amp * jax.random.normal(
+                jax.random.fold_in(sub, 2), x.shape, x.dtype)
+        else:
+            nx_ = ny_ = nz_ = jnp.zeros_like(x)
+        c_x = np.float32(0.5) * b * h
+        x = x + mask * (b * h * vx + c_x * (h * fx + nx_))
+        y = y + mask * (b * h * vy + c_x * (h * fy + ny_))
+        z = z + mask * (b * h * vz + c_x * (h * fz + nz_))
+        hv = np.float32(0.5) * h
+        vx = mask * (a_ * vx + hv * a_ * fx + b * nx_)
+        vy = mask * (a_ * vy + hv * a_ * fy + b * ny_)
+        vz = mask * (a_ * vz + hv * a_ * fz + b * nz_)
+
+        # global drift criterion -> synchronized rebin
+        d2 = mask * ((x - rx) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
+        drift2 = jax.lax.pmax(jnp.max(d2), axis)
+
+        def do_rebin(args):
+            x, y, z, vx, vy, vz, pidf, ovf = args
+            (xn, yn, zn, vxn, vyn, vzn, pidn), count, o = _local_rebin(
+                spec, nz_loc, n_dev, axis, halo_extend,
+                x, y, z, vx, vy, vz, pidf,
+            )
+            total = jax.lax.psum(count, axis)
+            o = o.astype(jnp.float32)
+            if n_total is not None:
+                o = o + (total != n_total).astype(jnp.float32)
+            return xn, yn, zn, vxn, vyn, vzn, pidn, ovf + o
+
+        def no_rebin(args):
+            return args
+
+        x, y, z, vx, vy, vz, pidf, ovf = jax.lax.cond(
+            drift2 > thr2, do_rebin, no_rebin,
+            (x, y, z, vx, vy, vz, pidf, ovf),
+        )
+        rx = jnp.where(drift2 > thr2, x, rx)
+        ry = jnp.where(drift2 > thr2, y, ry)
+        rz = jnp.where(drift2 > thr2, z, rz)
+        mask = (pidf > 0.5).astype(x.dtype)
+
+        xe = halo_extend(x)
+        ye = halo_extend(y)
+        ze = halo_extend(z, shift_lo=-Lz, shift_hi=Lz)
+        fxl, fyl, fzl = kern(xe, ye, ze)[:3]
+        fx = fxl[1:-1] * mask
+        fy = fyl[1:-1] * mask
+        fz = fzl[1:-1] * mask
+        vx = vx + hv * fx
+        vy = vy + hv * fy
+        vz = vz + hv * fz
+        return (x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz, pidf, ovf,
+                jax.random.key_data(key)[None])
+
+    gspec = P(axis)
+    step = jax.shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(gspec,) * 15,
+        out_specs=(gspec,) * 15,
+        check_vma=False,
+    )
+    sharding = NamedSharding(mesh, gspec)
+    return jax.jit(step), sharding
+
+
+def shard_grid_state2(gs, mesh, axis: str = "z", seed: int = 0):
+    """GridState -> the 15-tuple consumed by make_domain_md_step2."""
+    sharding = NamedSharding(mesh, P(axis))
+    pidf = (gs.pid + 1).astype(jnp.float32)
+    arrays = [
+        jax.device_put(a, sharding)
+        for a in (gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+                  gs.fx, gs.fy, gs.fz, gs.x, gs.y, gs.z, pidf)
+    ]
+    n_dev = mesh.devices.size
+    ovf = jax.device_put(jnp.zeros((n_dev,), jnp.float32), sharding)
+    keys = jax.vmap(jax.random.key_data)(
+        jax.random.split(jax.random.key(seed), n_dev)
+    )
+    keys = jax.device_put(keys, sharding)
+    return tuple(arrays) + (ovf, keys)

@@ -1,0 +1,212 @@
+"""Multi-chip spectral FCM: x-slab-sharded grid, distributed FFT.
+
+The reference's spectral solvers are single-GPU cuFFT pipelines (reference:
+src/Integrator/BDHI/FCM/FCM_impl.cuh:654-693); the multi-chip capability is
+the TPU build's own obligation (SURVEY 2.6/§5 "sharded FFTs via all-to-all
+over ICI"). Design:
+
+- **particles**: each shard owns the particles whose x falls in its slab
+  (padded [D, m, 3] shards with a validity mask — shard_particles_x);
+- **spread**: local scatter onto an x-extended slab [nx_loc + 2P, ny, nz]
+  (P = kernel support), then one ppermute pair ADDS the pad planes into the
+  neighbours' interiors (halo reduce) — contributions that cross a slab
+  boundary are never lost;
+- **distributed FFT**: rfft(z) + fft(y) locally, one all-to-all transpose
+  (kz-split -> x-gathered), fft(x) locally, wave-space scaling on the local
+  kz chunk, and the mirrored inverse path. kz is padded to a multiple of the
+  mesh size; pad planes are zeroed both ways;
+- **interpolate**: halo-extend the velocity slab (ppermute copy) and gather
+  at the local particles.
+
+One chip's memory holds 1/D of the grid end to end, and every collective is
+a neighbour ppermute or a single all-to-all — the patterns ICI is built for.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.box import Box
+from ..solvers.ibm import GaussianKernel, _weights_and_indices
+
+
+def shard_particles_x(pos, values, n_dev, box: Box):
+    """Assign particles to x-slabs: returns (pos_sh [D, m, 3],
+    val_sh [D, m, C], mask [D, m], order [D, m] original indices; m padded
+    to the fullest shard). Host-side prep (not jitted)."""
+    pos = np.asarray(pos)
+    values = np.asarray(values)
+    L = float(np.asarray(jax.device_get(box.size))[0])
+    x = np.mod(pos[:, 0] / L + 0.5, 1.0)
+    owner = np.clip((x * n_dev).astype(int), 0, n_dev - 1)
+    m = max(np.bincount(owner, minlength=n_dev).max(), 1)
+    D = n_dev
+    pos_sh = np.zeros((D, m, 3), pos.dtype)
+    val_sh = np.zeros((D, m) + values.shape[1:], values.dtype)
+    mask = np.zeros((D, m), bool)
+    order = np.zeros((D, m), np.int64)
+    for d in range(D):
+        idx = np.nonzero(owner == d)[0]
+        pos_sh[d, : len(idx)] = pos[idx]
+        val_sh[d, : len(idx)] = values[idx]
+        mask[d, : len(idx)] = True
+        order[d, : len(idx)] = idx
+    return (
+        jnp.asarray(pos_sh), jnp.asarray(val_sh),
+        jnp.asarray(mask), jnp.asarray(order),
+    )
+
+
+def gather_shards(out_sh, mask, order, n):
+    """Inverse of shard_particles_x for per-particle outputs."""
+    out = np.zeros((n,) + out_sh.shape[2:], np.asarray(out_sh).dtype)
+    o = np.asarray(out_sh)
+    m = np.asarray(mask)
+    idx = np.asarray(order)
+    out[idx[m]] = o[m]
+    return jnp.asarray(out)
+
+
+def make_sharded_fcm_mf(
+    mesh: Mesh,
+    box: Box,
+    *,
+    viscosity: float = 1.0,
+    radius: float = 1.0,
+    shape: tuple,
+    support: int = 6,
+    axis: str = "x",
+):
+    """Build mf(pos_sh, force_sh, mask) -> vel_sh: the FCM M F product with
+    the grid x-sharded over the mesh. shape[0] must divide the mesh size."""
+    D = mesh.devices.size
+    nx, ny, nz = shape
+    assert nx % D == 0, "shape[0] must divide the mesh"
+    nx_loc = nx // D
+    Ls = [float(s) for s in np.asarray(jax.device_get(box.size))]
+    sigma = radius / math.sqrt(math.pi)
+    h = Ls[0] / nx
+    kern = GaussianKernel(sigma=sigma / h, support=support)
+    Pad = support
+    assert Pad <= nx_loc, "slab thinner than the kernel support"
+    nzr = nz // 2 + 1
+    nzr_pad = ((nzr + D - 1) // D) * D
+    kz_chunk = nzr_pad // D
+
+    kxf = 2.0 * math.pi * np.fft.fftfreq(nx, d=Ls[0] / nx)
+    kyf = 2.0 * math.pi * np.fft.fftfreq(ny, d=Ls[1] / ny)
+    kzf = np.zeros(nzr_pad)
+    kzf[:nzr] = 2.0 * math.pi * np.fft.rfftfreq(nz, d=Ls[2] / nz)
+    kz_valid = np.zeros(nzr_pad, bool)
+    kz_valid[:nzr] = True
+
+    def mf_shard(pos, force, mask):
+        dtype = pos.dtype
+        idxv = jax.lax.axis_index(axis)
+        x0 = idxv * nx_loc
+
+        # ---- local spread onto the extended slab
+        idx, w, hv = _weights_and_indices(kern, pos, box, shape)
+        inv_dV = 1.0 / jnp.prod(hv)
+        lx = jnp.mod(idx[..., 0] - x0 + Pad, nx)
+        inside = (lx < nx_loc + 2 * Pad) & mask[:, None]
+        lx = jnp.where(inside, lx, 0)
+        contrib = jnp.where(
+            inside[:, :, None], (w * inv_dV)[:, :, None] * force[:, None, :],
+            0.0,
+        )
+        ext = jnp.zeros((nx_loc + 2 * Pad, ny, nz, 3), dtype)
+        ext = ext.at[lx, idx[..., 1], idx[..., 2]].add(contrib)
+
+        # ---- halo reduce: pads add into the neighbours' interiors
+        left = jax.lax.ppermute(
+            ext[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        right = jax.lax.ppermute(
+            ext[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        f = ext[Pad:-Pad]
+        f = f.at[-Pad:].add(left)
+        f = f.at[:Pad].add(right)
+
+        # ---- forward distributed FFT: [nx_loc, ny, nz, 3]
+        fk = jnp.fft.rfft(f, axis=2)
+        fk = jnp.fft.fft(fk, axis=1)
+        fk = jnp.pad(fk, ((0, 0), (0, 0), (0, nzr_pad - nzr), (0, 0)))
+        # kz-split, x-gather
+        fk = jax.lax.all_to_all(
+            fk, axis, split_axis=2, concat_axis=0, tiled=True
+        )  # [nx, ny, kz_chunk, 3]
+        fk = jnp.fft.fft(fk, axis=0)
+
+        # ---- wave-space Stokes projector on the local kz chunk
+        kx = jnp.asarray(kxf, dtype)[:, None, None]
+        ky = jnp.asarray(kyf, dtype)[None, :, None]
+        kz = jax.lax.dynamic_slice(
+            jnp.asarray(kzf, dtype), (idxv * kz_chunk,), (kz_chunk,)
+        )[None, None, :]
+        valid = jax.lax.dynamic_slice(
+            jnp.asarray(kz_valid), (idxv * kz_chunk,), (kz_chunk,)
+        )[None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        kdotf = kx * fk[..., 0] + ky * fk[..., 1] + kz * fk[..., 2]
+        pref = valid & (k2 > 0)
+        scale = jnp.where(pref, 1.0 / (viscosity * k2s), 0.0)
+        uk = jnp.stack(
+            [
+                scale * (fk[..., 0] - kx * kdotf / k2s),
+                scale * (fk[..., 1] - ky * kdotf / k2s),
+                scale * (fk[..., 2] - kz * kdotf / k2s),
+            ],
+            axis=-1,
+        )
+
+        # ---- inverse distributed FFT
+        uk = jnp.fft.ifft(uk, axis=0)
+        uk = jax.lax.all_to_all(
+            uk, axis, split_axis=0, concat_axis=2, tiled=True
+        )  # [nx_loc, ny, nzr_pad, 3]
+        uk = uk[:, :, :nzr]
+        u = jnp.fft.ifft(uk, axis=1)
+        u = jnp.fft.irfft(u, n=nz, axis=2)
+
+        # ---- halo extend + local interpolation
+        lo = jax.lax.ppermute(
+            u[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        hi = jax.lax.ppermute(
+            u[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        ue = jnp.concatenate([hi, u, lo], axis=0)
+        vals = ue[lx, idx[..., 1], idx[..., 2]]  # [m, s^3, 3]
+        vel = jnp.sum(
+            jnp.where(inside[:, :, None], w[:, :, None] * vals, 0.0), axis=1
+        )
+        return vel * mask[:, None]
+
+    spec_p = P(axis)
+    mf = jax.shard_map(
+        mf_shard,
+        mesh=mesh,
+        in_specs=(spec_p, spec_p, spec_p),
+        out_specs=spec_p,
+        check_vma=False,
+    )
+
+    def apply(pos_sh, force_sh, mask):
+        D_, m = pos_sh.shape[:2]
+        out = mf(
+            pos_sh.reshape(D_ * m, 3),
+            force_sh.reshape(D_ * m, 3),
+            mask.reshape(D_ * m),
+        )
+        return out.reshape(D_, m, 3)
+
+    return jax.jit(apply)

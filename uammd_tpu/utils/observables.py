@@ -82,3 +82,35 @@ def kinetic_temperature(vel: jax.Array, mass=None, dim: int = 3):
     m = jnp.ones(vel.shape[0], vel.dtype) if mass is None else mass
     ke = 0.5 * jnp.sum(m * jnp.sum(vel * vel, axis=-1))
     return 2.0 * ke / (dim * vel.shape[0])
+
+
+def dynamic_structure_factor(traj: jax.Array, box: Box, n_max: int = 4):
+    """S(k, t) = <rho_k(t) rho_-k(0)> / N over a trajectory [T, N, 3]
+    (the HydroGrid dynamic factor analog, reference: utils/HydroGrid.cuh).
+
+    Returns (kmag [K], S [T, K]) with K the reciprocal-lattice points of
+    |m| <= n_max (zero mode excluded), S averaged over time origins via the
+    stationarity identity S(k, t) = mean_t0 Re[rho_k(t0+t) conj(rho_k(t0))]
+    computed with an FFT over the time axis.
+    """
+    T, n, _ = traj.shape
+    L = box.size
+    m = jnp.arange(-n_max, n_max + 1)
+    kx, ky, kz = jnp.meshgrid(m, m, m, indexing="ij")
+    kvec = (
+        2.0 * jnp.pi
+        * jnp.stack([kx, ky, kz], -1).reshape(-1, 3).astype(traj.dtype)
+        / L
+    )
+    nonzero = jnp.any(kvec != 0, axis=-1)
+    kvec = kvec[nonzero]
+    phase = jnp.einsum("tnd,kd->tnk", traj, kvec)
+    rho = jnp.exp(-1j * phase).sum(1)  # [T, K]
+    # time-origin-averaged correlation via FFT (Wiener-Khinchin)
+    pad = jnp.concatenate([rho, jnp.zeros_like(rho)], axis=0)
+    f = jnp.fft.fft(pad, axis=0)
+    corr = jnp.fft.ifft(f * jnp.conj(f), axis=0)[:T].real
+    norm = (T - jnp.arange(T))[:, None] * n
+    s_kt = corr / norm
+    kmag = jnp.sqrt((kvec**2).sum(-1))
+    return kmag, s_kt
