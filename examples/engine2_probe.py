@@ -68,12 +68,20 @@ def main(n, T=1.5, steps=100, cap=None, n_strag=32):
         gs2 = md.run(gs2, steps)
     sync(gs2.x)
     dt_s = (time.perf_counter() - t0) / (3 * steps)
+    T_meas = float(jax.device_get(md.temperature_of(gs2)))
+    n_final = int(jax.device_get(
+        (gs2.pid >= 0).sum() + (gs2.spid >= 0).sum()))
     print(
         f"v2 GJ step: {dt_s*1e3:.2f} ms -> {n/dt_s:.4e} psteps/s "
         f"(overflow={bool(jax.device_get(gs2.overflow))}, "
-        f"T={float(jax.device_get(md.temperature_of(gs2))):.3f})",
+        f"T={T_meas:.3f}, count={n_final}, "
+        f"strag={int(jax.device_get((gs2.spid >= 0).sum()))})",
         flush=True,
     )
+    import math as _m
+    assert _m.isfinite(T_meas) and abs(T_meas - T) < 0.1 * T, T_meas
+    assert n_final == n, n_final
+    print("PHYSICS OK", flush=True)
 
 
 if __name__ == "__main__":

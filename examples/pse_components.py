@@ -49,8 +49,14 @@ def main():
     pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
     F = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
 
-    be = PSEGrid.create(b, n, viscosity=1.0, radius=radius, xi=xi,
-                        tolerance=1e-4)
+    far_grid = os.environ.get("PSE_FAR")
+    lz = int(os.environ.get("PSE_LANCZOS", 12))
+    be = PSEGrid.create(
+        b, n, viscosity=1.0, radius=radius,
+        xi=None if far_grid else xi,
+        far_grid=int(far_grid) if far_grid else None,
+        tolerance=1e-4, lanczos_iterations=lz, pos=pos,
+    )
     print(f"spec={be.spec.shape} cap={be.spec.cap} nlane={be.spec.nlane} "
           f"far={be.far.shape} rcut={be.rcut:.2f}", flush=True)
 
@@ -65,6 +71,20 @@ def main():
 
     far_mf = jax.jit(lambda p, f: be.far.compute_mf(p, f))
     timeit("far compute_mf", far_mf, pos, F)
+
+    # far-field internals
+    from uammd_tpu.solvers.ibm import interpolate_auto, spread_auto
+    kern = be.far._kernel(jnp.float32)
+    sp = jax.jit(lambda p, f: spread_auto(kern, p, f, be.far.shape, b))
+    field = timeit("far spread", sp, pos, F)
+    fftj = jax.jit(lambda g: jnp.fft.rfftn(g, axes=(0, 1, 2)))
+    fk = timeit("far fft fwd (3 comp)", fftj, field)
+    iff = jax.jit(
+        lambda k: jnp.fft.irfftn(k, s=tuple(be.far.shape), axes=(0, 1, 2))
+    )
+    timeit("far fft inv (3 comp)", iff, fk)
+    itp = jax.jit(lambda p, g: interpolate_auto(kern, p, g, b))
+    timeit("far interp", itp, pos, field)
 
     far_fused = jax.jit(
         lambda p, f, k: be.far.compute_mf_bdw(p, f, k, 1.0)

@@ -26,7 +26,9 @@ def image_compare(eps_below, atol):
     pos = np.column_stack([
         (rng.random(n) - 0.5) * L,
         (rng.random(n) - 0.5) * L,
-        -H / 2 + 1.0 + 3.0 * rng.random(n),  # within the lower half
+        -H / 2 + 1.8 + 2.4 * rng.random(n),  # lower half; >= 4.5 gw
+        # above the interface so the Gaussian charge does not leak across
+        # (the image equivalence is exact only for charge fully inside)
     ])
     q = rng.normal(size=n)
     q -= q.mean()  # neutral
@@ -61,11 +63,11 @@ def image_compare(eps_below, atol):
 
 
 def test_dielectric_jump_matches_image_charges():
-    image_compare(eps_below=4.0, atol=8e-3)
+    image_compare(eps_below=4.0, atol=5e-3)
 
 
 def test_metallic_wall_matches_perfect_images():
-    image_compare(eps_below=math.inf, atol=8e-3)
+    image_compare(eps_below=math.inf, atol=5e-3)
 
 
 def test_uniform_reduces_to_old_behavior():
@@ -99,7 +101,7 @@ def test_capacitor_surface_charge():
     qq = jnp.asarray([1e-9, -1e-9, 0.0])  # negligible probe charges
     _, E = sl.fields(pos, qq)
     E = np.asarray(E)
-    np.testing.assert_allclose(E[:, 2], sigma / EPS, rtol=1e-3)
+    np.testing.assert_allclose(E[:, 2], sigma / EPS, rtol=1e-2)
     assert np.abs(E[:, :2]).max() < 1e-6
 
 

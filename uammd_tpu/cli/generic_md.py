@@ -17,9 +17,15 @@ data.main; unknown options raise):
   dt X            numberSteps M    printSteps K    relaxSteps R
   epsilon e  sigma s  cutOff rc  shiftLJ 0|1      # LJ pair forces
   noPairForces
+  bondFile path              # harmonic bonds: first line nbonds, then
+                             # "i j k r0" per line (reference BondedForces
+                             # file format, BondedForces.cuh:8-11)
+  externalForce fx fy fz     # constant per-particle force (gravity-like)
   initialPositions fcc|sc|bcc|random
   outfile path    readFile path                   # xyz-like text I/O
   seed S
+
+  integrator also accepts mcForceBiased (MALA; needs LJ energies).
 """
 
 from __future__ import annotations
@@ -82,6 +88,33 @@ def build_simulation(inp: InputFile):
 
         aux = None
 
+    # optional bonded forces from a reference-format bond file
+    if inp.has("bondFile"):
+        from ..interactors.bonded import bonded_forces, bonds, harmonic
+
+        rows = np.loadtxt(inp.get("bondFile", str), skiprows=1, ndmin=2)
+        blist = bonds(rows[:, :2].astype(np.int32),
+                      k=rows[:, 2], r0=rows[:, 3])
+        prev_fn = force_fn
+
+        def force_fn(state, aux, _prev=prev_fn, _b=blist):
+            fev, aux = _prev(state, aux)
+            fev = fev + bonded_forces(harmonic, _b, state.pos, b,
+                                      Computables(force=True, energy=True))
+            return fev, aux
+
+    if inp.has("externalForce"):
+        fext = jnp.asarray(
+            list(inp.get("externalForce", float, float, float)), jnp.float32
+        )
+        prev_fn2 = force_fn
+
+        def force_fn(state, aux, _prev=prev_fn2, _f=fext):
+            fev, aux = _prev(state, aux)
+            return fev + ForceEnergyVirial(
+                force=jnp.broadcast_to(_f, state.pos.shape)
+            ), aux
+
     name = inp.get("integrator", str)
     dt = inp.get("dt", float)
     T = inp.get("temperature", float, default=0.0)
@@ -139,6 +172,20 @@ def build_simulation(inp: InputFile):
 
             backend = PSE.create(b, viscosity=eta, radius=a)
         integ = bdhi_euler_maruyama(force_fn, backend, dt, T)
+    elif name == "mcForceBiased":
+        from ..integrators.mc import force_biased
+
+        base_fn = force_fn
+
+        def energy_force_fn(state, aux):
+            fev, aux = base_fn(state, aux)
+            en = jnp.sum(fev.energy) if fev.energy is not None else 0.0
+            return en, fev.force, aux
+
+        integ = force_biased(
+            energy_force_fn, dt, T,
+            viscosity=inp.get("viscosity", float, default=1.0),
+        )
     else:
         log.critical("unknown integrator '%s'", name)
     return st, aux, integ, b

@@ -35,10 +35,17 @@ TWO_PI = np.float32(2.0 * math.pi)
 
 
 def _uniform(shape):
-    """(0, 1] uniforms from raw PRNG bits (top 24 bits)."""
-    bits = pltpu.prng_random_bits(shape)
-    u = (bits >> 8).astype(jnp.float32) * np.float32(2.0 ** -24)
-    return u + np.float32(2.0 ** -25)
+    """(0, 1] uniforms from raw PRNG bits via the mantissa trick.
+
+    Two Mosaic constraints shape this: prng_random_bits yields *signed*
+    int32 (an arithmetic shift would make negative "uniforms" whose log()
+    poisons the state with NaNs), and uint32 -> float32 casts are not
+    lowered. So: pack the top 23 bits into a [1, 2) float's mantissa by
+    bit-OR with the 1.0 exponent, bitcast, and map to (0, 1]."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    fbits = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    u = pltpu.bitcast(fbits, jnp.float32) - np.float32(1.0)  # [0, 1)
+    return np.float32(1.0) - u  # (0, 1]
 
 
 def make_gj_update_kernel(spec: GridSpec, dt, temperature, friction, mass):
@@ -70,7 +77,10 @@ def make_gj_update_kernel(spec: GridSpec, dt, temperature, friction, mass):
         mask = (x < 1.0e8).astype(jnp.float32)
 
         if noisy:
-            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0), pl.program_id(1))
+            # Mosaic caps prng_seed at 2 values: fold the 2-D program id
+            pltpu.prng_seed(
+                seed_ref[0, 0], pl.program_id(0) * nyb + pl.program_id(1)
+            )
             u1 = _uniform((cap, nlane))
             u2 = _uniform((cap, nlane))
             u3 = _uniform((cap, nlane))

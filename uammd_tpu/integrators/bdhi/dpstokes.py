@@ -111,6 +111,8 @@ def _build_stokes_ops(nz, H, kxs, kys, viscosity, mode="slit"):
                 A[r0, 3 * nz] = -1.0 / (2.0 * eta)
 
         def robin_bottom(b):
+            # exterior z < -H/2: u = (a + b zeta) e^{k zeta}, p = P e^{k zeta}
+            # => Du - k u - (i k_b/(2 eta k)) p = 0 and Dw - k w - p/(2 eta) = 0
             r1 = b * nz + nz - 1
             A[r1, :] = 0.0
             A[r1, sl[b]] = D[nz - 1, :]
@@ -118,7 +120,7 @@ def _build_stokes_ops(nz, H, kxs, kys, viscosity, mode="slit"):
             if b < 2:
                 A[r1, 4 * nz - 1] = -1j * kcs[b] / (2.0 * eta * k)
             else:
-                A[r1, 4 * nz - 1] = 1.0 / (2.0 * eta)
+                A[r1, 4 * nz - 1] = -1.0 / (2.0 * eta)
 
         for b in range(3):
             r0, r1 = b * nz, b * nz + nz - 1

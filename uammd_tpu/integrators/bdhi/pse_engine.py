@@ -81,8 +81,18 @@ class PSEGrid:
         lanczos_iterations: int = 12,
         cap: int | None = None,
         prefer_pow2: bool = False,
+        pos=None,
+        far_grid: int | None = None,
     ):
+        """``far_grid`` overrides xi by pinning the far-field FFT size per
+        axis (e.g. 128 for a pow2-friendly TPU FFT): the Ewald split is
+        derived backwards from the grid. ``pos`` sizes the near-field cell
+        CAP from the measured occupancy instead of the Poisson estimate."""
         Ls = [float(s) for s in jax.device_get(box.size)]
+        if far_grid is not None:
+            # FCM.create picks grid = ceil(L * ppw / sigma_split) per axis;
+            # invert so it lands exactly on far_grid points
+            xi = 0.5 * far_grid / (points_per_width * max(Ls))
         if xi is None:
             xi = 0.5 / radius
         sigma_split = 0.5 / xi
@@ -101,7 +111,7 @@ class PSEGrid:
             hasimoto_k2=sigma_split * sigma_split,
         )
         # engine spec: cells >= rcut (skin 1.0 — re-binned every step)
-        spec = choose_spec(Ls, n, rcut, skin=1.0, cap=cap)
+        spec = choose_spec(Ls, n, rcut, skin=1.0, cap=cap, pos=pos)
 
         # ---- piecewise polynomial fit of the near-field radial functions
         qb = min(2.0 * radius / rcut, 1.0)
