@@ -1,22 +1,28 @@
-"""Headline benchmark: LJ liquid MD throughput (particle-steps/s).
+"""Headline benchmarks (driver metric: BASELINE.json).
 
-Workload mirrors the reference benchmark (reference: examples/misc/
-benchmark.cu:172-181): N = 2^20 LJ particles, box 128^3 (rho = 0.5),
-VerletNVT Gronbech-Jensen, rcut 2.5, dt 0.01, single precision, on the
-grid-resident Pallas engine (uammd_tpu.engine).
+1. LJ liquid MD throughput on the v2 grid-resident engine (Newton pair
+   kernel + stragglers + fused G-J update), mirroring the reference
+   benchmark (reference: examples/misc/benchmark.cu:172-181): N = 2^20,
+   box 128^3 (rho = 0.5), VerletNVT Gronbech-Jensen, rcut 2.5, dt 0.01,
+   single precision.
+2. BDHI-PSE EM throughput at N = 128k (phi = 5% colloids): grid-resident
+   near field + fused far spectral pass + slot-space Lanczos noise
+   (reference: src/Integrator/BDHI/PSE).
 
-Protocol: melt the fcc start in a high-capacity engine (the crystal's cell
-occupancy exceeds the liquid's), then repack into the steady-state engine
-sized from the melted configuration and time that.
+Protocol (LJ): melt the fcc start in a high-capacity engine, repack into
+the steady-state v2 engine (CAP from the melted occupancy quantile +
+straggler list) and time fixed compiled chunks. Falls back to the v1
+engine if the v2 path reports overflow.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the reference's published number (~9.4e7
-particle-steps/s on a GTX 980, BASELINE.md).
+Prints one JSON line per metric; the LAST line is the primary LJ metric
+(vs_baseline against the reference's ~9.4e7 particle-steps/s, BASELINE.md)
+and carries the PSE number as an extra key.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -35,62 +41,140 @@ def sync(x):
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def main(n=1 << 20, steps=200, warmup_steps=300, temperature=1.5,
-         chunk=100):
+def bench_lj(n, steps, warmup_steps, temperature, chunk):
     import numpy as np
 
     from uammd_tpu.engine.layout import unpack
     from uammd_tpu.engine.md import make_lj_md
+    from uammd_tpu.engine.md2 import make_lj_md2
     from uammd_tpu.utils.lattices import lattice
 
     L = 128.0 * (n / (1 << 20)) ** (1 / 3)
     pos = lattice(n, L, "fcc")
 
     # phase 1: melt (crystal needs a larger CAP than the liquid)
-    md_melt = make_lj_md(
-        L, n, dt=0.004, temperature=temperature, pos=pos
-    )
+    md_melt = make_lj_md(L, n, dt=0.004, temperature=temperature, pos=pos)
     gs = md_melt.init(pos, seed=0)
     for _ in range(warmup_steps // chunk):
         gs = md_melt.run(gs, chunk)
     sync(gs.x)
     assert not bool(jax.device_get(gs.overflow)), "melt phase overflow"
+    melted_pos, _, _ = unpack(gs)
+    mp = np.asarray(jax.device_get(melted_pos))
 
-    # phase 2: repack into the steady-state engine (occupancy-sized CAP)
-    # and time fixed-size compiled chunks
-    melted_pos, melted_vel, _ = unpack(gs)
-    md = make_lj_md(
-        L, n, dt=0.01, temperature=temperature,
-        pos=np.asarray(jax.device_get(melted_pos)),
-    )
-    gs = md.init(np.asarray(jax.device_get(melted_pos)), seed=1)
-    gs = md.run(gs, chunk)  # compile + settle
-    sync(gs.x)
+    def timed(md, gs):
+        gs = md.run(gs, chunk)  # compile + settle
+        sync(gs.x)
+        assert steps % chunk == 0
+        t0 = time.perf_counter()
+        for _ in range(steps // chunk):
+            gs = md.run(gs, chunk)
+        sync(gs.x)
+        return gs, n * steps / (time.perf_counter() - t0)
 
-    assert steps % chunk == 0
-    t0 = time.perf_counter()
-    for _ in range(steps // chunk):
-        gs = md.run(gs, chunk)
-    sync(gs.x)
-    dt_s = time.perf_counter() - t0
+    # phase 2: v2 engine (occupancy-quantile CAP + stragglers)
+    try:
+        md2 = make_lj_md2(L, n, dt=0.01, temperature=temperature, pos=mp,
+                          n_strag=32)
+        gs2, psteps = timed(md2, md2.init(mp, seed=1))
+        if not bool(jax.device_get(gs2.overflow)):
+            T = float(jax.device_get(md2.temperature_of(gs2)))
+            assert math.isfinite(T) and abs(T - temperature) < 0.2 * temperature, T
+            return psteps, "engine2"
+        print(json.dumps({"warning": "v2 engine overflow; falling back"}))
+    except Exception as e:  # pragma: no cover - robustness for the driver
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({"warning": f"v2 engine failed: {type(e).__name__}"}))
+
+    md = make_lj_md(L, n, dt=0.01, temperature=temperature, pos=mp)
+    gs, psteps = timed(md, md.init(mp, seed=1))
     assert not bool(jax.device_get(gs.overflow)), "timed phase overflow"
+    return psteps, "engine1"
 
-    psteps = n * steps / dt_s
-    print(
-        json.dumps(
-            {
-                "metric": "lj_md_particle_steps_per_s",
-                "value": psteps,
-                "unit": "particle-steps/s",
-                "vs_baseline": psteps / BASELINE_PSTEPS,
-            }
-        )
+
+def bench_pse(n, steps, far_grid, lanczos_iterations):
+    import numpy as np
+
+    from uammd_tpu.core.box import box
+    from uammd_tpu.integrators.bdhi.pse_engine import PSEGrid
+
+    phi, radius = 0.05, 1.0
+    L = (n * (4.0 / 3.0) * math.pi * radius**3 / phi) ** (1.0 / 3.0)
+    b = box(L)
+    rng = np.random.default_rng(0)
+    pos = jax.numpy.asarray((rng.random((n, 3)) - 0.5) * L, jax.numpy.float32)
+
+    be = PSEGrid.create(
+        b, n, viscosity=1.0, radius=radius, far_grid=far_grid,
+        tolerance=1e-4, lanczos_iterations=lanczos_iterations, pos=pos,
     )
-    return psteps
+    dt, temperature = 0.01, 1.0
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def run(p, key, nsteps):
+        import jax.numpy as jnp
+
+        def body(carry, _):
+            p, k = carry
+            k, sub = jax.random.split(k)
+            f = 0.01 * jnp.sin(p)  # soft stand-in force
+            dx, ovf = be.displacement(p, f, sub, dt, temperature)
+            return (p + dx, k), ovf
+        (p, k), ovf = jax.lax.scan(body, (p, key), None, length=nsteps)
+        return p, jax.numpy.any(ovf)
+
+    key = jax.random.key(0)
+    p, ovf = run(pos, key, 2)
+    sync(p)
+    t0 = time.perf_counter()
+    p, ovf = run(p, jax.random.fold_in(key, 1), steps)
+    sync(p)
+    dt_s = (time.perf_counter() - t0) / steps
+    if bool(jax.device_get(ovf)):
+        print(json.dumps({"warning": "pse overflow during timed phase"}))
+    return n / dt_s
+
+
+def main():
+    n_lj = int(os.environ.get("BENCH_N", 1 << 20))
+    steps = int(os.environ.get("BENCH_STEPS", 200))
+    pse_value = None
+    if not os.environ.get("BENCH_SKIP_PSE"):
+        try:
+            pse_value = bench_pse(
+                n=int(os.environ.get("BENCH_PSE_N", 131072)),
+                steps=int(os.environ.get("BENCH_PSE_STEPS", 5)),
+                far_grid=int(os.environ.get("BENCH_PSE_FAR", 128)),
+                lanczos_iterations=int(os.environ.get("BENCH_PSE_LANCZOS", 10)),
+            )
+            print(json.dumps({
+                "metric": "bdhi_pse_particle_steps_per_s",
+                "value": pse_value,
+                "unit": "particle-steps/s",
+                "n": int(os.environ.get("BENCH_PSE_N", 131072)),
+            }))
+        except Exception as e:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
+            print(json.dumps({"warning": f"pse bench failed: {type(e).__name__}"}))
+
+    psteps, engine = bench_lj(
+        n=n_lj, steps=steps, warmup_steps=300, temperature=1.5, chunk=100,
+    )
+    out = {
+        "metric": "lj_md_particle_steps_per_s",
+        "value": psteps,
+        "unit": "particle-steps/s",
+        "vs_baseline": psteps / BASELINE_PSTEPS,
+        "engine": engine,
+    }
+    if pse_value is not None:
+        out["bdhi_pse_128k_particle_steps_per_s"] = pse_value
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main(
-        n=int(os.environ.get("BENCH_N", 1 << 20)),
-        steps=int(os.environ.get("BENCH_STEPS", 200)),
-    )
+    main()

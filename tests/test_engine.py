@@ -119,3 +119,42 @@ def test_pack_unpack_roundtrip(small_system):
     b = box(L)
     pw = np.asarray(b.wrap_position(jnp.asarray(pos, jnp.float32)))
     np.testing.assert_allclose(np.asarray(p), pw, atol=1e-5)
+
+
+def test_engine_energy_and_virial_outputs():
+    """The grid engine's energy/virial kernel options match the [N, K]
+    neighbour-list path (the previously unexercised e_fn/compute_virial
+    outputs, engine/pair_kernel.py)."""
+    from uammd_tpu.engine.layout import choose_spec, pack, unpack_values
+    from uammd_tpu.engine.layout import ChannelGrid, pack_channels
+    from uammd_tpu.engine.md import lj_e, lj_g
+    from uammd_tpu.engine.pair_kernel import make_pair_force_kernel
+    from uammd_tpu.neighbors.neighbor_list import build_neighbor_list
+
+    np.random.seed(11)
+    n, L = 800, 15.0
+    pos = (np.random.rand(n, 3) - 0.5) * L
+    b = box(L)
+
+    spec = choose_spec(L, n, 2.5, skin=1.0, pos=pos)
+    gs = pack(spec, pos)
+    kern = make_pair_force_kernel(
+        spec, lj_g(), e_fn=lj_e(), compute_virial=True
+    )
+    fx, fy, fz, en, vir = kern(gs.x, gs.y, gs.z)
+    mask = gs.mask
+
+    fev = pair_forces(
+        lj(cutoff=2.5), jnp.asarray(pos, jnp.float32), box=b,
+        computables=Computables(force=True, energy=True, virial=True),
+    )
+    # totals (slot order differs; sums are invariant)
+    e_engine = float(jnp.sum(en * mask))
+    e_ref = float(jnp.sum(fev.energy))
+    assert abs(e_engine - e_ref) / abs(e_ref) < 1e-5, (e_engine, e_ref)
+    v_engine = float(jnp.sum(vir * mask))
+    v_ref = float(jnp.sum(fev.virial))
+    assert abs(v_engine - v_ref) / abs(v_ref) < 1e-4, (v_engine, v_ref)
+    f_engine = float(jnp.sum(jnp.abs(fx * mask)))
+    f_ref = float(jnp.sum(jnp.abs(fev.force[:, 0])))
+    assert abs(f_engine - f_ref) / f_ref < 1e-5

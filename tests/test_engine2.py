@@ -9,7 +9,7 @@ import pytest
 from uammd_tpu.engine import layout
 from uammd_tpu.engine.md import GridMD, lj_g, make_lj_md
 from uammd_tpu.engine.md2 import GridMD2, make_lj_md2
-from uammd_tpu.engine.rebin_kernel import rebin_fast2
+from uammd_tpu.engine.rebin_kernel import rebin_fast2, rebin_fast3
 from uammd_tpu.utils.lattices import lattice
 
 
@@ -101,13 +101,19 @@ def test_rebin2_matches_sort_rebin(system):
 
     a = rebin_fast2(moved)
     b = layout.rebin(moved)
+    c = rebin_fast3(moved)
     assert not bool(jax.device_get(a.overflow))
     assert not bool(jax.device_get(b.overflow))
+    assert not bool(jax.device_get(c.overflow))
+    pc, vc, _ = (np.asarray(u) for u in layout.unpack(c))
 
     pa, va, _ = (np.asarray(u) for u in layout.unpack(a))
     pb, vb, _ = (np.asarray(u) for u in layout.unpack(b))
     np.testing.assert_allclose(pa, pb, atol=1e-5)
     np.testing.assert_allclose(va, vb, atol=1e-6)
+    np.testing.assert_allclose(pc, pb, atol=1e-5)
+    np.testing.assert_allclose(vc, vb, atol=1e-6)
+    assert int((c.pid >= 0).sum()) + int((c.spid >= 0).sum()) == n
     # both assign the same number of particles to the overflow list (WHICH
     # ranks >= CAP within an overfull cell differs by enumeration order —
     # both assignments are valid; the unpack equality above is the real

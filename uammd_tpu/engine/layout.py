@@ -89,7 +89,12 @@ class GridSpec:
 
     @property
     def drift_threshold(self) -> float:
-        return 0.5 * (self.skin - 1.0) * self.cutoff
+        """Half the true cell slack: pairs within cutoff stay inside the
+        one-cell stencil as long as every particle drifted less than
+        (cell - cutoff)/2 on each axis (the cells are usually a bit larger
+        than cutoff*skin because the box quantizes to whole cells)."""
+        slack = min(self.cell_size) - self.cutoff
+        return 0.5 * max(slack, 1e-6)
 
 
 def choose_spec(

@@ -33,7 +33,7 @@ from .kernel2 import (
 )
 from .layout import GridState, GridSpec, choose_spec, pack
 from .md import lj_g
-from .rebin_kernel import rebin_fast2, rebin_fast_noforce
+from .rebin_kernel import rebin_fast2, rebin_fast3, rebin_fast_noforce
 from .update_kernel import gj_update_jnp, make_gj_update_kernel
 
 
@@ -177,7 +177,7 @@ class GridMD2:
         gs = gs.replace(x=x, y=y, z=z, vx=wx, vy=wy, vz=wz, key=key)
         if spec.n_strag:
             gs = self._strag_update(gs, k_strag)
-            rebin_fn = rebin_fast2
+            rebin_fn = rebin_fast3  # separable 3-pass (rebin_fast2 = one-shot)
         else:
             rebin_fn = rebin_fast_noforce
         thr2 = jnp.float32(spec.drift_threshold ** 2)

@@ -300,16 +300,22 @@ def make_pair_channel_kernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # Chunk the home axis so the ~12 live [chunk, cap, nlane] pair-block
-    # intermediates across the unrolled 27 offsets stay within VMEM (Mosaic
-    # schedules across the unrolled loop; at cap = 64 the unchunked kernel
-    # spills ~180 MB).
-    budget = 48 * 1024 * 1024 // (27 * 12 * cap * nlane * 4)
+    # Chunk BOTH pair-block axes so the live [hc, cc, nlane] intermediates
+    # across the unrolled 27 offsets stay within VMEM. Mosaic schedules
+    # across the whole unrolled loop and keeps ~40 intermediates per offset
+    # live (Horner chains etc.), so size hc * cc against that empirical
+    # constant (at cap = 64 the unchunked kernel spills ~180 MB).
+    budget_pairs = 40 * 1024 * 1024 // (27 * 40 * nlane * 4)
     home_chunk = cap
-    while home_chunk > 8 and home_chunk > budget:
+    while home_chunk > 8 and home_chunk * cap > budget_pairs:
         home_chunk //= 2
     if cap % home_chunk != 0:
         home_chunk = 8
+    cand_chunk = cap
+    while cand_chunk > 8 and home_chunk * cand_chunk > budget_pairs:
+        cand_chunk //= 2
+    if cap % cand_chunk != 0:
+        cand_chunk = 8
 
     offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
     n_arr = 3 + n_chan  # coordinate + channel arrays
@@ -369,6 +375,9 @@ def make_pair_channel_kernel(
         def hslice(a, h0):
             return jax.lax.slice_in_dim(a, h0, h0 + home_chunk, axis=0)
 
+        def cslice(a, c0):
+            return jax.lax.slice_in_dim(a, c0, c0 + cand_chunk, axis=0)
+
         for h0 in range(0, cap, home_chunk):
             hs = slice(h0, h0 + home_chunk)
             xi_ = hslice(home[0], h0)[:, None, :]
@@ -380,14 +389,18 @@ def make_pair_channel_kernel(
                 for _ in range(n_out)
             ]
             for cand in cands:
-                dxv = cand[0][None, :, :] - xi_
-                dyv = cand[1][None, :, :] - yi_
-                dzv = cand[2][None, :, :] - zi_
-                r2 = dxv * dxv + dyv * dyv + dzv * dzv
-                ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
-                contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
-                for o in range(n_out):
-                    accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+                for c0 in range(0, cap, cand_chunk):
+                    dxv = cslice(cand[0], c0)[None, :, :] - xi_
+                    dyv = cslice(cand[1], c0)[None, :, :] - yi_
+                    dzv = cslice(cand[2], c0)[None, :, :] - zi_
+                    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                    ch_j = [
+                        cslice(cand[3 + c], c0)[None, :, :]
+                        for c in range(n_chan)
+                    ]
+                    contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+                    for o in range(n_out):
+                        accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
             for o in range(n_out):
                 outs[o][0, 0, hs, :] = accs[o]
 

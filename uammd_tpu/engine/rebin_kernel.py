@@ -607,3 +607,394 @@ def _get_kernel2(spec, n_q):
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_rebin_kernel2(spec, n_q)
     return _KERNEL_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# v3: separable rebin — one axis per pass (z, then y, then x)
+# ---------------------------------------------------------------------------
+#
+# The one-shot pull kernel pays 28 candidate blocks x (CAP + OCAP) one-hot
+# rank-select work; fixing ONE axis per pass needs only 3 candidate blocks
+# each, cutting the rank/apply volume ~2.4x. Migration stays single-cell per
+# axis (the same half-slack drift trigger), and the intermediate passes run
+# at CAP + OCAP capacity so transient occupancy (right z, wrong x/y) cannot
+# overflow prematurely. The straggler list is absorbed in the z pass (its
+# candidates are global; x/y get fixed by the later passes like everyone
+# else's).
+
+
+def _sep_place(nq, cap_out, nlane, my_c, cand, coord_q, cell_of, tri,
+               out_r, state):
+    """Shared rank-select placement for one candidate block."""
+    acc, filled, base_rank, overflow, n_count = state
+    pidv = cand[nq - 1]
+    dc = cell_of(cand[coord_q])
+    valid = (pidv > 0.5) & (dc == my_c)
+    vf = valid.astype(jnp.float32)
+    prefix = jax.lax.dot_general(
+        tri, vf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rank = base_rank + prefix
+    base_rank = base_rank + jnp.sum(vf, axis=0, keepdims=True)
+    onehot = ((rank[None, :, :] == out_r) & valid[None, :, :]).astype(
+        jnp.float32
+    )
+    for q in range(nq):
+        acc[q] = acc[q] + jnp.sum(onehot * cand[q][None, :, :], axis=1)
+    filled = filled + jnp.sum(onehot, axis=1)
+    overflow = overflow + jnp.sum(vf * (rank >= cap_out))
+    n_count = n_count + jnp.sum(vf)
+    return acc, filled, base_rank, overflow, n_count
+
+
+def make_separable_rebin(spec: GridSpec, n_q: int, *,
+                         interpret: bool | None = None):
+    """Three-pass rebin: returns rebin(stacked, strag_stack) ->
+    (out [n_q, nz, nyb, CAP, NLANE], mini [n_q, nz, nyb, OCAP, NLANE],
+    count, overflow). Requires spec.n_strag > 0 (straggler-capable layout).
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    S = spec.n_strag
+    assert S > 0
+    wide = cap + OCAP  # intermediate capacity
+    Lx, Ly, Lz = (np.float32(s) for s in spec.box_size)
+    fnx, fny, fnz = np.float32(nx), np.float32(ny), np.float32(nz)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def iota_tri(m):
+        r = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        return (c < r).astype(jnp.float32)
+
+    def cell_calc(p, L, fn):
+        frac = p / L + 0.5
+        frac = frac - jnp.floor(frac)
+        return jnp.floor(frac * fn)
+
+    # ---------------- pass Z: fix the z cell (3 z-neighbor blocks + strag)
+    def kernel_z(*refs):
+        ins = refs[:3]
+        strag_ref = refs[3]
+        out_ref, ovf_ref, cnt_ref = refs[4:]
+        zpid = pl.program_id(0)
+        my_cz = zpid.astype(jnp.float32)
+
+        tri_w = iota_tri(wide)
+        tri_s = iota_tri(S)
+        out_r = jax.lax.broadcasted_iota(
+            jnp.int32, (wide, 1, 1), 0).astype(jnp.float32)
+
+        acc = [jnp.zeros((wide, nlane), jnp.float32) for _ in range(n_q)]
+        filled = jnp.zeros((wide, nlane), jnp.float32)
+        base_rank = jnp.zeros((1, nlane), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        n_count = jnp.zeros((), jnp.float32)
+        state = (acc, filled, base_rank, overflow, n_count)
+
+        cz_of = lambda p: cell_calc(p, Lz, fnz)
+        for k, dz in enumerate((-1, 0, 1)):
+            blk = ins[k][:, 0, 0, :, :]  # [n_q, wide_in, nlane]
+            cand = [blk[q] for q in range(n_q)]
+            if dz == 1:
+                cand[2] = cand[2] + jnp.where(zpid == nz - 1, Lz, 0.0)
+            elif dz == -1:
+                cand[2] = cand[2] + jnp.where(zpid == 0, -Lz, 0.0)
+            # wrap z as we claim it (x, y wrapped by the later passes)
+            cand[2] = cand[2] - Lz * jnp.round(cand[2] / Lz)
+            state = _sep_place(n_q, wide, nlane, my_cz, cand, 2, cz_of,
+                               tri_w, out_r, state)
+
+        # Stragglers are broadcast to every program AND every lane, so a
+        # z-only claim would duplicate them nyb x NLANE times: claim by the
+        # FULL target cell (their x/y land correct immediately; the later
+        # passes simply keep them).
+        ypid = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nlane), 1)
+        my_f = lane - (lane // F) * F
+        my_cy_full = (ypid * F + my_f).astype(jnp.float32)
+        my_cx_full = (lane // F).astype(jnp.float32)
+        scand = [strag_ref[q, :, :] for q in range(n_q)]
+        scand = [
+            scand[0] - Lx * jnp.round(scand[0] / Lx),
+            scand[1] - Ly * jnp.round(scand[1] / Ly),
+            scand[2] - Lz * jnp.round(scand[2] / Lz),
+        ] + scand[3:]
+        acc, filled, base_rank, overflow, n_count = state
+        svalid = (
+            (scand[n_q - 1] > 0.5)
+            & (cell_calc(scand[0], Lx, fnx) == my_cx_full)
+            & (cell_calc(scand[1], Ly, fny) == my_cy_full)
+            & (cell_calc(scand[2], Lz, fnz) == my_cz)
+        )
+        svf = svalid.astype(jnp.float32)
+        sprefix = jax.lax.dot_general(
+            tri_s, svf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        srank = base_rank + sprefix
+        base_rank = base_rank + jnp.sum(svf, axis=0, keepdims=True)
+        sone = ((srank[None, :, :] == out_r) & svalid[None, :, :]).astype(
+            jnp.float32
+        )
+        for q in range(n_q):
+            acc[q] = acc[q] + jnp.sum(sone * scand[q][None], axis=1)
+        filled = filled + jnp.sum(sone, axis=1)
+        overflow = overflow + jnp.sum(svf * (srank >= wide))
+        n_count = n_count + jnp.sum(svf)
+        state = (acc, filled, base_rank, overflow, n_count)
+        acc, filled, _, overflow, n_count = state
+        notfill = filled < 0.5
+        for d in range(3):
+            acc[d] = jnp.where(notfill, EMPTY_POS, acc[d])
+        for q in range(n_q):
+            out_ref[q, 0, 0, :, :] = acc[q]
+        ovf_ref[0, 0, :, :] = jnp.full((8, 128), overflow)
+        cnt_ref[0, 0, :, :] = jnp.full((8, 128), n_count)
+
+    # ---------------- pass Y: fix the y cell (3 fold-aware lane shifts)
+    def kernel_y(*refs):
+        ins = refs[:3]  # (dyb = -1, 0, +1) blocks
+        out_ref, ovf_ref = refs[3:]
+        ypid = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nlane), 1)
+        my_f = lane - (lane // F) * F
+        my_cy = (ypid * F + my_f).astype(jnp.float32)
+
+        tri_w = iota_tri(wide)
+        out_r = jax.lax.broadcasted_iota(
+            jnp.int32, (wide, 1, 1), 0).astype(jnp.float32)
+
+        acc = [jnp.zeros((wide, nlane), jnp.float32) for _ in range(n_q)]
+        filled = jnp.zeros((wide, nlane), jnp.float32)
+        base_rank = jnp.zeros((1, nlane), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        n_count = jnp.zeros((), jnp.float32)
+        state = (acc, filled, base_rank, overflow, n_count)
+
+        cy_of = lambda p: cell_calc(p, Ly, fny)
+        self_blk = [ins[1][q, 0, 0, :, :] for q in range(n_q)]
+        for dyc in (-1, 0, 1):
+            f_src = my_f + dyc
+            infold = (f_src >= 0) & (f_src < F)
+            sgn = 0 if dyc == 0 else (1 if dyc > 0 else -1)
+            if sgn != 0:
+                nbr = [ins[1 + sgn][q, 0, 0, :, :] for q in range(n_q)]
+                cand = [
+                    jnp.where(
+                        infold,
+                        _shift_lanes(self_blk[q], dyc, interpret),
+                        _shift_lanes(nbr[q], dyc - sgn * F, interpret),
+                    )
+                    for q in range(n_q)
+                ]
+                img = jnp.where(
+                    (ypid == nyb - 1) if sgn == 1 else (ypid == 0),
+                    Ly if sgn == 1 else -Ly, 0.0,
+                )
+                # the wrapped-in rows of the neighbor block carry the image
+                cand[1] = jnp.where(infold, cand[1], cand[1] + img)
+            else:
+                cand = self_blk
+            c = list(cand)
+            c[1] = c[1] - Ly * jnp.round(c[1] / Ly)
+            state = _sep_place(n_q, wide, nlane, my_cy, c, 1, cy_of,
+                               tri_w, out_r, state)
+        acc, filled, _, overflow, n_count = state
+        notfill = filled < 0.5
+        for d in range(3):
+            acc[d] = jnp.where(notfill, EMPTY_POS, acc[d])
+        for q in range(n_q):
+            out_ref[q, 0, 0, :, :] = acc[q]
+        ovf_ref[0, 0, :, :] = jnp.full((8, 128), overflow)
+
+    # ---------------- pass X: fix the x cell (lane rolls by +-F), emit the
+    # final CAP grid + OCAP overflow mini-grid
+    def kernel_x(*refs):
+        (in_ref, out_ref, mini_ref, ovf_ref, cnt_ref) = refs
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nlane), 1)
+        my_cx = (lane // F).astype(jnp.float32)
+
+        tri_w = iota_tri(wide)
+        out_r = jax.lax.broadcasted_iota(
+            jnp.int32, (cap, 1, 1), 0).astype(jnp.float32)
+        out_r8 = (
+            jax.lax.broadcasted_iota(jnp.int32, (OCAP, 1, 1), 0).astype(
+                jnp.float32) + np.float32(cap)
+        )
+
+        acc = [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_q)]
+        acc8 = [jnp.zeros((OCAP, nlane), jnp.float32) for _ in range(n_q)]
+        filled = jnp.zeros((cap, nlane), jnp.float32)
+        filled8 = jnp.zeros((OCAP, nlane), jnp.float32)
+        base_rank = jnp.zeros((1, nlane), jnp.float32)
+        overflow = jnp.zeros((), jnp.float32)
+        n_count = jnp.zeros((), jnp.float32)
+
+        self_blk = [in_ref[q, 0, 0, :, :] for q in range(n_q)]
+        for dxc in (-1, 0, 1):
+            cand = [
+                _shift_lanes(self_blk[q], dxc * F, interpret)
+                for q in range(n_q)
+            ]
+            if dxc == 1:
+                cand[0] = cand[0] + jnp.where(my_cx == nx - 1, Lx, 0.0)
+            elif dxc == -1:
+                cand[0] = cand[0] + jnp.where(my_cx == 0, -Lx, 0.0)
+            cand[0] = cand[0] - Lx * jnp.round(cand[0] / Lx)
+            pidv = cand[n_q - 1]
+            dc = cell_calc(cand[0], Lx, fnx)
+            valid = (pidv > 0.5) & (dc == my_cx)
+            vf = valid.astype(jnp.float32)
+            prefix = jax.lax.dot_general(
+                tri_w, vf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rank = base_rank + prefix
+            base_rank = base_rank + jnp.sum(vf, axis=0, keepdims=True)
+            onehot = ((rank[None, :, :] == out_r) & valid[None, :, :]
+                      ).astype(jnp.float32)
+            onehot8 = ((rank[None, :, :] == out_r8) & valid[None, :, :]
+                       ).astype(jnp.float32)
+            for q in range(n_q):
+                acc[q] = acc[q] + jnp.sum(onehot * cand[q][None], axis=1)
+                acc8[q] = acc8[q] + jnp.sum(onehot8 * cand[q][None], axis=1)
+            filled = filled + jnp.sum(onehot, axis=1)
+            filled8 = filled8 + jnp.sum(onehot8, axis=1)
+            overflow = overflow + jnp.sum(vf * (rank >= cap + OCAP))
+            n_count = n_count + jnp.sum(vf)
+
+        notfill = filled < 0.5
+        notfill8 = filled8 < 0.5
+        for d in range(3):
+            acc[d] = jnp.where(notfill, EMPTY_POS, acc[d])
+            acc8[d] = jnp.where(notfill8, EMPTY_POS, acc8[d])
+        for q in range(n_q):
+            out_ref[q, 0, 0, :, :] = acc[q]
+            mini_ref[q, 0, 0, :, :] = acc8[q]
+        ovf_ref[0, 0, :, :] = jnp.full((8, 128), overflow)
+        cnt_ref[0, 0, :, :] = jnp.full((8, 128), n_count)
+
+    # ---------------- pallas plumbing
+    def blk_spec(qcap, dz=0, dyb=0):
+        return pl.BlockSpec(
+            (n_q, 1, 1, qcap, nlane),
+            functools.partial(_nbr_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
+            memory_space=pltpu.VMEM,
+        )
+
+    diag_spec = pl.BlockSpec(
+        (1, 1, 8, 128), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    diag_shape = jax.ShapeDtypeStruct((nz, nyb, 8, 128), jnp.float32)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_z(stacked_wide, strag):
+        return pl.pallas_call(
+            kernel_z,
+            grid=(nz, nyb),
+            in_specs=[blk_spec(wide, dz=d) for d in (-1, 0, 1)]
+            + [pl.BlockSpec((n_q, S, nlane), lambda z, yb: (0, 0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=[blk_spec(wide), diag_spec, diag_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_q, nz, nyb, wide, nlane), jnp.float32),
+                diag_shape, diag_shape,
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(stacked_wide, stacked_wide, stacked_wide, strag)
+
+    def run_y(w):
+        return pl.pallas_call(
+            kernel_y,
+            grid=(nz, nyb),
+            in_specs=[blk_spec(wide, dyb=d) for d in (-1, 0, 1)],
+            out_specs=[blk_spec(wide), diag_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_q, nz, nyb, wide, nlane), jnp.float32),
+                diag_shape,
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(w, w, w)
+
+    def run_x(w):
+        return pl.pallas_call(
+            kernel_x,
+            grid=(nz, nyb),
+            in_specs=[blk_spec(wide)],
+            out_specs=[blk_spec(cap),
+                       pl.BlockSpec((n_q, 1, 1, OCAP, nlane),
+                                    lambda z, yb: (0, z, yb, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       diag_spec, diag_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_q, nz, nyb, cap, nlane), jnp.float32),
+                jax.ShapeDtypeStruct((n_q, nz, nyb, OCAP, nlane), jnp.float32),
+                diag_shape, diag_shape,
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(w)
+
+    def rebin_stacked(stacked, strag_stack):
+        # widen [cap] -> [cap + OCAP] with empty rows for the intermediates
+        pad = jnp.zeros(
+            (n_q, nz, nyb, OCAP, nlane), stacked.dtype
+        ).at[:3].set(EMPTY_POS)
+        wide_in = jnp.concatenate([stacked, pad], axis=3)
+        zout, ovf_z, cnt_z = run_z(wide_in, strag_stack)
+        yout, ovf_y = run_y(zout)
+        out, mini, ovf_x, cnt_x = run_x(yout)
+        count = jnp.sum(cnt_x[:, :, 0, 0])
+        overflow = (
+            jnp.sum(ovf_z[:, :, 0, 0])
+            + jnp.sum(ovf_y[:, :, 0, 0])
+            + jnp.sum(ovf_x[:, :, 0, 0])
+        )
+        return out, mini, count, overflow
+
+    return rebin_stacked
+
+
+def rebin_fast3(gs: GridState) -> GridState:
+    """Separable-pass variant of rebin_fast2 (same contract)."""
+    spec = gs.spec
+    S = spec.n_strag
+    key = (spec, 7, "v3", jax.default_backend())
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make_separable_rebin(spec, 7)
+    kern = _KERNEL_CACHE[key]
+    stacked = jnp.stack(
+        [gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+         (gs.pid + 1).astype(jnp.float32)]
+    )
+    strag = jnp.stack(
+        [gs.spos[:, 0], gs.spos[:, 1], gs.spos[:, 2],
+         gs.svel[:, 0], gs.svel[:, 1], gs.svel[:, 2],
+         (gs.spid + 1).astype(jnp.float32)]
+    )
+    strag = jnp.broadcast_to(strag[:, :, None], (7, S, spec.nlane))
+    out, mini, count, ovf = kern(stacked, strag)
+    pid = out[6].astype(jnp.int32) - 1
+    spos, svel, spid, s_count = _compact_mini(mini, S, gs.n)
+    overflow = (
+        gs.overflow
+        | (ovf > 0)
+        | (count.astype(jnp.int32) != gs.n)
+        | (s_count > S)
+    )
+    zero = jnp.zeros_like(gs.fx)
+    return gs.replace(
+        x=out[0], y=out[1], z=out[2],
+        vx=out[3], vy=out[4], vz=out[5],
+        fx=zero, fy=zero, fz=zero,
+        pid=pid, ref_x=out[0], ref_y=out[1], ref_z=out[2],
+        overflow=overflow,
+        spos=spos, svel=svel, sforce=jnp.zeros_like(gs.sforce), spid=spid,
+    )
