@@ -106,7 +106,9 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
     pos = jax.numpy.asarray((rng.random((n, 3)) - 0.5) * L, jax.numpy.float32)
 
     be = PSEGrid.create(
-        b, n, viscosity=1.0, radius=radius, far_grid=far_grid,
+        b, n, viscosity=1.0, radius=radius,
+        xi=None if far_grid else 0.3,
+        far_grid=far_grid,
         tolerance=1e-4, lanczos_iterations=lanczos_iterations, pos=pos,
     )
     dt, temperature = 0.01, 1.0
@@ -127,7 +129,9 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
         return p, jax.numpy.any(ovf)
 
     key = jax.random.key(0)
-    p, ovf = run(pos, key, 2)
+    # warm up with the SAME static step count: run() compiles per nsteps,
+    # so a different warmup length would put the compile inside the timing
+    p, ovf = run(pos, key, steps)
     sync(p)
     t0 = time.perf_counter()
     p, ovf = run(p, jax.random.fold_in(key, 1), steps)
@@ -147,7 +151,8 @@ def main():
             pse_value = bench_pse(
                 n=int(os.environ.get("BENCH_PSE_N", 131072)),
                 steps=int(os.environ.get("BENCH_PSE_STEPS", 5)),
-                far_grid=int(os.environ.get("BENCH_PSE_FAR", 128)),
+                far_grid=(int(os.environ["BENCH_PSE_FAR"])
+                          if os.environ.get("BENCH_PSE_FAR") else None),
                 lanczos_iterations=int(os.environ.get("BENCH_PSE_LANCZOS", 10)),
             )
             print(json.dumps({

@@ -52,7 +52,8 @@ def main(n, T=1.5, steps=100, cap=None, n_strag=32):
     print(f"melt done in {time.perf_counter()-t0:.0f}s", flush=True)
 
     md = make_lj_md2(L, n, dt=0.01, temperature=T, cap=cap,
-                     n_strag=n_strag, pos=mp)
+                     n_strag=n_strag, pos=mp,
+                     fast_recip=bool(os.environ.get("PROBE_FAST_RECIP")))
     print(f"v2 spec: {md.spec}", flush=True)
     t0 = time.perf_counter()
     gs2 = md.init(mp, seed=1)

@@ -72,7 +72,7 @@ def probe(n, xi, steps, lanczos_iterations, phi=0.05, radius=1.0):
         return p, jnp.any(ovf)
 
     key = jax.random.key(0)
-    p, ovf = run(pos, key, 2)
+    p, ovf = run(pos, key, steps)  # warmup at the SAME static length
     sync(p)
     print(f"  compile+warmup: {time.perf_counter()-t0:.0f}s "
           f"(overflow={bool(jax.device_get(ovf))})", flush=True)

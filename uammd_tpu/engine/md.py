@@ -231,3 +231,23 @@ def make_lj_md(
         spec=spec, force_kernel=kern, dt=dt,
         temperature=temperature, friction=friction, mass=mass,
     )
+
+
+def lj_g_fast(epsilon=1.0, sigma=1.0):
+    """lj_g with the TPU's hardware approximate reciprocal (Pallas-only;
+    ~2^-12 relative error on 1/r2, amplified to ~2e-3 on the r^-14 force
+    term — fine for thermostatted runs, not for strict NVE drift studies.
+    The reference's CUDA builds commonly enable the analogous fast-math
+    division). Use inside Pallas kernels only (pl.reciprocal)."""
+    from jax.experimental import pallas as pl
+
+    eps = np.float32(epsilon)
+    s2 = np.float32(sigma * sigma)
+
+    def g(r2):
+        t = pl.reciprocal(r2, approx=True)
+        inv2 = s2 * t
+        inv6 = inv2 * inv2 * inv2
+        return (np.float32(-24.0) * eps) * t * (2.0 * inv6 * inv6 - inv6)
+
+    return g

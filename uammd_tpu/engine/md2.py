@@ -51,7 +51,11 @@ class GridMD2:
 
     @staticmethod
     def create(spec: GridSpec, g_fn, *, dt, temperature, friction=1.0,
-               mass=1.0, interpret: bool | None = None):
+               mass=1.0, interpret: bool | None = None, g_fn_kernel=None):
+        """``g_fn_kernel`` optionally overrides the radial function used
+        INSIDE the Pallas kernel (e.g. md.lj_g_fast with the hardware
+        approximate reciprocal); ``g_fn`` stays the jnp-evaluable version
+        used for the straggler pair pass."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         md = GridMD2(
@@ -60,8 +64,11 @@ class GridMD2:
             use_fused_update=not interpret,
         )
         object.__setattr__(
-            md, "_pair", make_newton_pair_kernel(spec, g_fn,
-                                                 interpret=interpret)
+            md, "_pair",
+            make_newton_pair_kernel(
+                spec, g_fn_kernel if g_fn_kernel is not None else g_fn,
+                interpret=interpret,
+            )
         )
         object.__setattr__(
             md, "_fold",
@@ -236,12 +243,20 @@ def make_lj_md2(
     n_strag: int = 32,
     interpret: bool | None = None,
     pos=None,
+    fast_recip: bool = False,
 ) -> GridMD2:
     """v2 engine on the reference benchmark system
-    (examples/misc/benchmark.cu:172-181)."""
+    (examples/misc/benchmark.cu:172-181). ``fast_recip`` swaps the in-kernel
+    LJ radial function for the hardware approximate reciprocal (see
+    md.lj_g_fast; TPU only)."""
+    from .md import lj_g_fast
+
     spec = choose_spec(box_size, n, cutoff, skin=skin, cap=cap, pos=pos,
                        n_strag=n_strag)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    gk = lj_g_fast(epsilon, sigma) if (fast_recip and not interpret) else None
     return GridMD2.create(
         spec, lj_g(epsilon, sigma), dt=dt, temperature=temperature,
-        friction=friction, mass=mass, interpret=interpret,
+        friction=friction, mass=mass, interpret=interpret, g_fn_kernel=gk,
     )

@@ -300,21 +300,27 @@ def make_pair_channel_kernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Chunk the home axis so the live [chunk, cap, nlane] pair-block
+    # intermediates across the unrolled 27 offsets stay within VMEM (Mosaic
+    # schedules across the whole unrolled loop and keeps each offset's
+    # intermediates live). Perf notes from the round-2 experiments:
+    # unchunked spills ~180 MB at cap = 64; a lax.fori_loop body bounds the
+    # live set but serializes the VPU ~90x (no cross-iteration pipelining);
+    # home-chunking keeps full throughput up to cap ~ 48. Larger caps
+    # need a straggler-style occupancy split (round-3 item).
+    budget = 48 * 1024 * 1024 // (27 * 12 * cap * nlane * 4)
+    home_chunk = cap
+    while home_chunk > 8 and home_chunk > budget:
+        home_chunk //= 2
+    if cap % home_chunk != 0:
+        home_chunk = 8
+
     offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
     n_arr = 3 + n_chan  # coordinate + channel arrays
 
     def kernel(*refs):
-        # Layout note: the candidate construction (static lane rolls, image
-        # shifts) unrolls over 27 offsets and writes into a VMEM scratch;
-        # the expensive all-pairs compute then runs in ONE lax.fori_loop
-        # over the stencil. Mosaic schedules across fully-unrolled loops and
-        # keeps every iteration's intermediates live (the unrolled form
-        # spilled ~200 MB of VMEM at cap = 64); the fori body is an opaque
-        # region, bounding the live set to a single [cap, cap, nlane]
-        # iteration.
         ins = refs[: 9 * n_arr]
-        outs = refs[9 * n_arr: 9 * n_arr + n_out]
-        cand_buf = refs[9 * n_arr + n_out]
+        outs = refs[9 * n_arr:]
         zpid = pl.program_id(0)
         ypid = pl.program_id(1)
         consts = _lane_constants(spec)
@@ -364,34 +370,30 @@ def make_pair_channel_kernel(
                         cand[0] = cand[0] + consts[("xshift", dx)]
                     cands.append(cand)
 
-        # stage the candidate blocks into the scratch: [27, n_arr, cap, nlane]
-        for k, cand in enumerate(cands):
-            for a in range(n_arr):
-                cand_buf[k, a, :, :] = cand[a]
+        def hslice(a, h0):
+            return jax.lax.slice_in_dim(a, h0, h0 + home_chunk, axis=0)
 
-        xi_ = home[0][:, None, :]
-        yi_ = home[1][:, None, :]
-        zi_ = home[2][:, None, :]
-        ch_i = [home[3 + c][:, None, :] for c in range(n_chan)]
-
-        def body(k, accs):
-            blk = cand_buf[k]  # [n_arr, cap, nlane]
-            dxv = blk[0][None, :, :] - xi_
-            dyv = blk[1][None, :, :] - yi_
-            dzv = blk[2][None, :, :] - zi_
-            r2 = dxv * dxv + dyv * dyv + dzv * dzv
-            ch_j = [blk[3 + c][None, :, :] for c in range(n_chan)]
-            contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
-            return tuple(
-                accs[o] + jnp.sum(contribs[o], axis=1) for o in range(n_out)
-            )
-
-        accs = jax.lax.fori_loop(
-            0, 27, body,
-            tuple(jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_out)),
-        )
-        for o in range(n_out):
-            outs[o][0, 0, :, :] = accs[o]
+        for h0 in range(0, cap, home_chunk):
+            hs = slice(h0, h0 + home_chunk)
+            xi_ = hslice(home[0], h0)[:, None, :]
+            yi_ = hslice(home[1], h0)[:, None, :]
+            zi_ = hslice(home[2], h0)[:, None, :]
+            ch_i = [hslice(home[3 + c], h0)[:, None, :] for c in range(n_chan)]
+            accs = [
+                jnp.zeros((home_chunk, nlane), jnp.float32)
+                for _ in range(n_out)
+            ]
+            for cand in cands:
+                dxv = cand[0][None, :, :] - xi_
+                dyv = cand[1][None, :, :] - yi_
+                dzv = cand[2][None, :, :] - zi_
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
+                contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+                for o in range(n_out):
+                    accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+            for o in range(n_out):
+                outs[o][0, 0, hs, :] = accs[o]
 
     def block_spec(dz, dyb):
         return pl.BlockSpec(
@@ -429,9 +431,6 @@ def make_pair_channel_kernel(
             in_specs=in_specs,
             out_specs=[out_spec] * n_out,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((27, n_arr, cap, nlane), jnp.float32)
-            ],
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
