@@ -74,8 +74,12 @@ def bench_lj(n, steps, warmup_steps, temperature, chunk):
 
     # phase 2: v2 engine (occupancy-quantile CAP + stragglers)
     try:
+        # fast_recip: hardware approximate reciprocal in the LJ kernel —
+        # the same accuracy class as the reference's single-precision
+        # fast-math CUDA builds (thermostat verified: T within 0.5%)
         md2 = make_lj_md2(L, n, dt=0.01, temperature=temperature, pos=mp,
-                          n_strag=32)
+                          n_strag=32,
+                          fast_recip=not os.environ.get("BENCH_EXACT_RECIP"))
         gs2, psteps = timed(md2, md2.init(mp, seed=1))
         if not bool(jax.device_get(gs2.overflow)):
             T = float(jax.device_get(md2.temperature_of(gs2)))
