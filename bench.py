@@ -78,7 +78,7 @@ def bench_lj(n, steps, warmup_steps, temperature, chunk):
         # the same accuracy class as the reference's single-precision
         # fast-math CUDA builds (thermostat verified: T within 0.5%)
         md2 = make_lj_md2(L, n, dt=0.01, temperature=temperature, pos=mp,
-                          n_strag=32,
+                          n_strag=16,
                           fast_recip=not os.environ.get("BENCH_EXACT_RECIP"))
         gs2, psteps = timed(md2, md2.init(mp, seed=1))
         if not bool(jax.device_get(gs2.overflow)):
