@@ -114,6 +114,7 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
         xi=None if far_grid else 0.3,
         far_grid=far_grid,
         tolerance=1e-4, lanczos_iterations=lanczos_iterations, pos=pos,
+        n_strag=int(os.environ.get("BENCH_PSE_STRAG", 128)),
     )
     dt, temperature = 0.01, 1.0
 
@@ -155,8 +156,13 @@ def main():
             pse_value = bench_pse(
                 n=int(os.environ.get("BENCH_PSE_N", 131072)),
                 steps=int(os.environ.get("BENCH_PSE_STEPS", 5)),
+                # 144 = 2^4 * 3^2: smooth FFT size AND a multiple of 4, so
+                # the far spread/interp run the tile-4 scatter-free path
+                # (tiled_ibm.pick_tile); xi derives to ~0.294, the same
+                # Ewald balance as the measured optimum 0.3
                 far_grid=(int(os.environ["BENCH_PSE_FAR"])
-                          if os.environ.get("BENCH_PSE_FAR") else None),
+                          if os.environ.get("BENCH_PSE_FAR", "").strip()
+                          else 144),
                 lanczos_iterations=int(os.environ.get("BENCH_PSE_LANCZOS", 10)),
             )
             print(json.dumps({

@@ -51,23 +51,35 @@ def main():
 
     far_grid = os.environ.get("PSE_FAR")
     lz = int(os.environ.get("PSE_LANCZOS", 12))
+    n_strag = int(os.environ.get("PSE_STRAG", 0))
     be = PSEGrid.create(
         b, n, viscosity=1.0, radius=radius,
         xi=None if far_grid else xi,
         far_grid=int(far_grid) if far_grid else None,
-        tolerance=1e-4, lanczos_iterations=lz, pos=pos,
+        tolerance=1e-4, lanczos_iterations=lz, pos=pos, n_strag=n_strag,
     )
     print(f"spec={be.spec.shape} cap={be.spec.cap} nlane={be.spec.nlane} "
-          f"far={be.far.shape} rcut={be.rcut:.2f}", flush=True)
+          f"S={be.spec.n_strag} far={be.far.shape} rcut={be.rcut:.2f}",
+          flush=True)
 
     pack_j = jax.jit(lambda p, f: pack_channels(be.spec, p, f))
     cg = timeit("pack_channels", pack_j, pos, F)
-
-    mv = jax.jit(lambda c: be.near_matvec_slots(c, *c.channels))
+    if n_strag:
+        print(f"  stragglers in flight: {int(jnp.sum(cg.spid >= 0))}",
+              flush=True)
+        mv = jax.jit(
+            lambda c: be.near_matvec_slots(c, *c.channels, sf3=c.schannels)
+        )
+    else:
+        mv = jax.jit(lambda c: be.near_matvec_slots(c, *c.channels))
     timeit("near matvec (1x)", mv, cg)
 
     noise = jax.jit(lambda c, k: be._near_noise_slots(c, k)[0])
-    timeit("near noise (Lanczos 12)", noise, cg, jax.random.key(1))
+    timeit(f"near noise (Lanczos {lz})", noise, cg, jax.random.key(1))
+    resj = jax.jit(lambda c, k: be._near_noise_slots(c, k)[-1])
+    print(f"  lanczos residual @ {lz} iters: "
+          f"{float(jax.device_get(resj(cg, jax.random.key(1)))):.2e}",
+          flush=True)
 
     far_mf = jax.jit(lambda p, f: be.far.compute_mf(p, f))
     timeit("far compute_mf", far_mf, pos, F)
@@ -77,12 +89,16 @@ def main():
     kern = be.far._kernel(jnp.float32)
     sp = jax.jit(lambda p, f: spread_auto(kern, p, f, be.far.shape, b))
     field = timeit("far spread", sp, pos, F)
-    fftj = jax.jit(lambda g: jnp.fft.rfftn(g, axes=(0, 1, 2)))
-    fk = timeit("far fft fwd (3 comp)", fftj, field)
-    iff = jax.jit(
-        lambda k: jnp.fft.irfftn(k, s=tuple(be.far.shape), axes=(0, 1, 2))
-    )
-    timeit("far fft inv (3 comp)", iff, fk)
+    try:
+        fftj = jax.jit(lambda g: jnp.fft.rfftn(g, axes=(0, 1, 2)))
+        fk = timeit("far fft fwd (3 comp)", fftj, field)
+        iff = jax.jit(
+            lambda k: jnp.fft.irfftn(k, s=tuple(be.far.shape), axes=(0, 1, 2))
+        )
+        timeit("far fft inv (3 comp)", iff, fk)
+    except Exception as e:  # standalone batched rfftn can hit TPU
+        print(f"  (standalone fft timing unavailable: {type(e).__name__})",
+              flush=True)
     itp = jax.jit(lambda p, g: interpolate_auto(kern, p, g, b))
     timeit("far interp", itp, pos, field)
 

@@ -38,7 +38,8 @@ def sync(x):
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def probe(n, xi, steps, lanczos_iterations, phi=0.05, radius=1.0):
+def probe(n, xi, steps, lanczos_iterations, phi=0.05, radius=1.0,
+          n_strag=0):
     L = (n * (4.0 / 3.0) * math.pi * radius**3 / phi) ** (1.0 / 3.0)
     b = box(L)
     rng = np.random.default_rng(0)
@@ -47,11 +48,12 @@ def probe(n, xi, steps, lanczos_iterations, phi=0.05, radius=1.0):
     t0 = time.perf_counter()
     be = PSEGrid.create(
         b, n, viscosity=1.0, radius=radius, xi=xi, tolerance=1e-4,
-        lanczos_iterations=lanczos_iterations,
+        lanczos_iterations=lanczos_iterations, pos=pos, n_strag=n_strag,
     )
     print(
         f"xi={xi}: rcut={be.rcut:.2f} spec={be.spec.shape} cap={be.spec.cap} "
-        f"fold={be.spec.fold} nlane={be.spec.nlane} far_grid={be.far.shape}",
+        f"fold={be.spec.fold} nlane={be.spec.nlane} S={be.spec.n_strag} "
+        f"far_grid={be.far.shape}",
         flush=True,
     )
 
@@ -93,6 +95,7 @@ if __name__ == "__main__":
     n = int(os.environ.get("PSE_N", 131072))
     steps = int(os.environ.get("PSE_STEPS", 5))
     lz = int(os.environ.get("PSE_LANCZOS", 12))
+    n_strag = int(os.environ.get("PSE_STRAG", 0))
     xis = [float(s) for s in os.environ.get("PSE_XI", "0.25").split(",")]
     for xi in xis:
-        probe(n, xi, steps, lz)
+        probe(n, xi, steps, lz, n_strag=n_strag)

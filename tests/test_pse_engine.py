@@ -99,7 +99,7 @@ def test_near_noise_sqrt_identity():
     cg = pack_channels(fast.spec, pos, jnp.zeros((n, 3), jnp.float32))
     for seed in (0, 1, 2):
         key = jax.random.key(seed)
-        bx, by, bz, res = fast._near_noise_slots(cg, key)
+        bx, by, bz, _, res = fast._near_noise_slots(cg, key)
         lhs = float(jnp.sum(bx * bx + by * by + bz * bz))
         # reconstruct the exact z drawn inside _near_noise_slots
         mask = (cg.pid >= 0).astype(jnp.float32)
@@ -110,3 +110,88 @@ def test_near_noise_sqrt_identity():
         rhs = float(sum(jnp.sum(a * c) for a, c in zip(z, mz)))
         assert rhs > 0
         np.testing.assert_allclose(lhs, rhs, rtol=5e-3)
+
+
+def test_straggler_split_matvec_exact():
+    """The straggler occupancy split (spec.n_strag > 0: smaller CAP + a
+    dense [S] side list through the channel kernel's broadcast block) is an
+    exact reorganisation: M_near F matches the no-straggler grid to float32
+    roundoff, including the straggler rows (reference parity: the CUDA cell
+    list has no occupancy cap at all — NeighbourList/CellList.cuh)."""
+    rng = np.random.default_rng(7)
+    n, L = 600, 26.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    F = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    ref = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4, pos=pos)
+    small_cap = max(8, ref.spec.cap - 16)
+    fast = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4,
+                          pos=pos, cap=small_cap, n_strag=64)
+
+    from uammd_tpu.engine.layout import pack_channels
+    cg = pack_channels(fast.spec, pos, F)
+    assert int(jnp.sum(cg.spid >= 0)) > 0, "config must overflow small CAP"
+    assert not bool(cg.overflow)
+
+    v_ref = np.asarray(ref.near_matvec(pos, F))
+    v_fast = np.asarray(fast.near_matvec(pos, F))
+    err = np.abs(v_fast - v_ref).max() / np.abs(v_ref).max()
+    assert err < 1e-5, err
+
+
+def test_straggler_noise_sqrt_identity():
+    """Lanczos sqrt identity on the EXTENDED (grid + straggler rows)
+    operator: ||sqrt(M) z||^2 == z^T M z with stragglers in flight."""
+    from uammd_tpu.engine.layout import pack_channels
+
+    rng = np.random.default_rng(11)
+    n, L = 200, 18.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    fast = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-3,
+                          lanczos_iterations=24, pos=pos, cap=8, n_strag=64)
+    cg = pack_channels(fast.spec, pos, jnp.zeros((n, 3), jnp.float32))
+    assert int(jnp.sum(cg.spid >= 0)) > 0
+    key = jax.random.key(5)
+    bx, by, bz, s3, res = fast._near_noise_slots(cg, key)
+    lhs = float(jnp.sum(bx * bx + by * by + bz * bz) + jnp.sum(s3 * s3))
+    # reconstruct the exact start vector drawn inside _near_noise_slots
+    mask = (cg.pid >= 0).astype(jnp.float32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = [jax.random.normal(k, cg.x.shape, jnp.float32) * mask
+         for k in (k1, k2, k3)]
+    smask = (cg.spid >= 0).astype(jnp.float32)
+    zs = jax.random.normal(
+        jax.random.fold_in(key, 7), (3, fast.spec.n_strag), jnp.float32
+    ) * smask
+    vx, vy, vz, sv3 = fast.near_matvec_slots(
+        cg, *z, sf3=(zs[0], zs[1], zs[2])
+    )
+    rhs = float(
+        sum(jnp.sum(a * c) for a, c in zip(z, (vx, vy, vz)))
+        + sum(jnp.sum(a * c) for a, c in zip(zs, sv3))
+    )
+    assert rhs > 0
+    np.testing.assert_allclose(lhs, rhs, rtol=5e-3)
+
+
+def test_straggler_displacement_consistent():
+    """Fused EM displacement with stragglers: T=0 equals dt*MF of the
+    no-straggler backend; with noise the step stays finite."""
+    rng = np.random.default_rng(13)
+    n, L = 600, 26.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    F = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    ref = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4, pos=pos)
+    fast = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4,
+                          pos=pos, cap=max(8, ref.spec.cap - 16), n_strag=64)
+    d_ref, _ = ref.displacement(pos, F, jax.random.key(0), 0.01, 0.0)
+    d_fast, ovf = fast.displacement(pos, F, jax.random.key(0), 0.01, 0.0)
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        np.asarray(d_fast), np.asarray(d_ref), rtol=2e-4, atol=1e-8
+    )
+    d1, _ = fast.displacement(pos, F, jax.random.key(1), 0.01, 1.0)
+    assert bool(jnp.all(jnp.isfinite(d1)))

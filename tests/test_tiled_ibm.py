@@ -21,27 +21,28 @@ from uammd_tpu.solvers.tiled_ibm import (
 )
 
 
+@pytest.mark.parametrize("tile", [4, 8], ids=["tile4", "tile8"])
 @pytest.mark.parametrize("m", [36, 40], ids=["padded", "exact-tiles"])
 @pytest.mark.parametrize(
     "kern",
     [GaussianKernel(sigma=1.2, support=8), Peskin3pt()],
     ids=["gauss", "peskin3"],
 )
-def test_tiled_matches_direct(m, kern):
+def test_tiled_matches_direct(m, kern, tile):
     rng = np.random.default_rng(0)
     n, L = 500, float(m) * 0.61
     b = box(L, dtype=jnp.float64)
     pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L)
     q = jnp.asarray(rng.normal(size=(n, 3)))
     f_ref = spread(kern, pos, q, (m, m, m), b)
-    f_tile, ovf = spread_tiled(kern, pos, q, (m, m, m), b)
+    f_tile, ovf = spread_tiled(kern, pos, q, (m, m, m), b, tile=tile)
     assert not bool(ovf)
     np.testing.assert_allclose(
         np.asarray(f_tile), np.asarray(f_ref), atol=1e-12
     )
     u = jnp.asarray(rng.normal(size=(m, m, m, 3)))
     v_ref = interpolate(kern, pos, u, b)
-    v_tile, _ = interpolate_tiled(kern, pos, u, b)
+    v_tile, _ = interpolate_tiled(kern, pos, u, b, tile=tile)
     np.testing.assert_allclose(
         np.asarray(v_tile), np.asarray(v_ref), atol=1e-12
     )

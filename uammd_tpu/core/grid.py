@@ -87,8 +87,14 @@ def next_fft_size(
     def tile_ok(m):
         if tile_safe_support is None:
             return True
+        half = (tile_safe_support + 1) // 2
+        if half <= 4:
+            # support <= 8 kernels run the faster tile-4 path
+            # (tiled_ibm.pick_tile): require a multiple of 4 (every such m
+            # is also tile-8 safe: m % 8 in {0, 4} with half <= 4)
+            return m % 4 == 0
         w = m % 8
-        return w == 0 or w >= (tile_safe_support + 1) // 2
+        return w == 0 or w >= half
 
     if prefer_pow2:
         m = 1 << max(0, (n - 1)).bit_length()

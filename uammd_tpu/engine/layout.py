@@ -106,6 +106,8 @@ def choose_spec(
     cap: int | None = None,
     pos=None,
     n_strag: int = 0,
+    strag_cell_excess: int = 6,
+    strag_headroom: float = 3.0,
 ) -> GridSpec:
     """Pick (nx, ny, nz), fold F and CAP for a target box/density.
 
@@ -167,10 +169,13 @@ def choose_spec(
                 # Straggler mode: CAP covers the bulk, the side list absorbs
                 # the tail. Pick the smallest CAP whose expected overflow
                 # leaves >= 2x headroom in the list and whose per-cell excess
-                # fits the rebin kernel's 8-slot overflow mini-grid.
+                # fits ``strag_cell_excess`` (the LJ rebin kernel's 8-slot
+                # overflow mini-grid needs <= 6; repack-every-step consumers
+                # like the PSE near field can pass a large value).
                 for c in range(8, cap + 1, 8):
                     excess = np.maximum(counts - c, 0)
-                    if excess.sum() * 3 <= n_strag and excess.max() <= 6:
+                    if (excess.sum() * strag_headroom <= n_strag
+                            and excess.max() <= strag_cell_excess):
                         cap = c
                         break
     return GridSpec(
@@ -368,7 +373,12 @@ def pack(
 class ChannelGrid:
     """Cell-resident positions + payload channels (no integrator state):
     the layout used by grid-resident solvers (PSE near field, SPH, DPD)
-    where per-particle payloads ride along with the coordinates."""
+    where per-particle payloads ride along with the coordinates.
+
+    When ``spec.n_strag > 0`` the ``s*`` fields carry the straggler side
+    list (particles ranked past CAP in an overflowing cell): spos [S, 3],
+    schannels tuple of [S] (zero on empties), spid [S] int32 (-1 = empty).
+    """
 
     spec: GridSpec = dataclasses.field(metadata={"static": True})
     n: int = dataclasses.field(metadata={"static": True})
@@ -378,10 +388,17 @@ class ChannelGrid:
     channels: tuple  # of [nz, nyb, CAP, NLANE] arrays (zero on empties)
     pid: jax.Array  # int32, -1 = empty
     overflow: jax.Array
+    spos: jax.Array  # [S, 3] straggler positions (EMPTY_POS on empties)
+    schannels: tuple  # of [S] arrays (zero on empties)
+    spid: jax.Array  # [S] int32, -1 = empty
 
     @property
     def mask(self) -> jax.Array:
         return self.pid >= 0
+
+    @property
+    def smask(self) -> jax.Array:
+        return self.spid >= 0
 
     def replace(self, **kw) -> "ChannelGrid":
         return dataclasses.replace(self, **kw)
@@ -390,13 +407,15 @@ class ChannelGrid:
 def pack_channels(spec: GridSpec, pos, channels) -> ChannelGrid:
     """Bin [N, 3] positions plus a [N, C] channel payload into the grid.
     Channel empties fill with 0 (so payload-linear kernels see exact zeros
-    from empty slots)."""
+    from empty slots). With ``spec.n_strag > 0`` the occupancy tail past CAP
+    lands in the straggler side list instead of raising overflow."""
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
     channels = jnp.asarray(channels, jnp.float32)
     if channels.ndim == 1:
         channels = channels[:, None]
     C = channels.shape[1]
+    S = spec.n_strag
     Ls = spec.box_size
     x = pos[:, 0] - Ls[0] * jnp.round(pos[:, 0] / Ls[0])
     y = pos[:, 1] - Ls[1] * jnp.round(pos[:, 1] / Ls[1])
@@ -405,21 +424,38 @@ def pack_channels(spec: GridSpec, pos, channels) -> ChannelGrid:
     ck = _cell_key(spec, x, y, z, jnp.ones((n,), bool))
     cols = (x, y, z) + tuple(channels[:, c] for c in range(C)) + (pid,)
     fills = (None, None, None) + (0.0,) * C + (None,)
-    binned, _, ovf = _bin_columns(spec, ck, cols, n, fills=fills)
+    binned, strag, ovf = _bin_columns(spec, ck, cols, n, fills=fills)
+    if S > 0:
+        spos = jnp.stack(strag[0:3], axis=-1)
+        schannels = tuple(strag[3:3 + C])
+        spid = strag[3 + C]
+    else:
+        spos = jnp.full((0, 3), EMPTY_POS, jnp.float32)
+        schannels = tuple(jnp.zeros((0,), jnp.float32) for _ in range(C))
+        spid = jnp.full((0,), -1, jnp.int32)
     return ChannelGrid(
         spec=spec, n=n,
         x=binned[0], y=binned[1], z=binned[2],
         channels=tuple(binned[3:3 + C]),
         pid=binned[3 + C], overflow=ovf,
+        spos=spos, schannels=schannels, spid=spid,
     )
 
 
-def unpack_values(cg: ChannelGrid, values) -> jax.Array:
+def unpack_values(cg: ChannelGrid, values, svalues=None) -> jax.Array:
     """Slot-space values (tuple of [nz, nyb, CAP, NLANE]) -> [N, len(values)]
-    in canonical pid order (sort-based, no gathers)."""
+    in canonical pid order (sort-based, no gathers). ``svalues`` optionally
+    appends the straggler rows (tuple of [S] arrays matching cg.spid)."""
     valid = cg.pid >= 0
     pid = jnp.where(valid, cg.pid, cg.n).reshape(-1)
     cols = tuple(jnp.asarray(v).reshape(-1) for v in values)
+    if svalues is not None and cg.spid.shape[0] > 0:
+        spid = jnp.where(cg.spid >= 0, cg.spid, cg.n)
+        pid = jnp.concatenate([pid, spid])
+        cols = tuple(
+            jnp.concatenate([c, jnp.asarray(s).reshape(-1)])
+            for c, s in zip(cols, svalues)
+        )
     s = jax.lax.sort((pid,) + cols, dimension=0, num_keys=1)
     return jnp.stack([c[: cg.n] for c in s[1:]], axis=-1)
 

@@ -272,6 +272,7 @@ def make_pair_channel_kernel(
     *,
     interpret: bool | None = None,
     periodic_z: bool = True,
+    pair_both_fn: Callable | None = None,
 ):
     """General transverser on the grid-resident layout with per-particle
     payload channels (the reference's ``getInfo`` path — reference:
@@ -291,12 +292,25 @@ def make_pair_channel_kernel(
     slots sit at layout.EMPTY_POS and fail any physical cutoff; empty
     channels are zero-filled by layout.pack_channels).
 
-    force(x, y, z, *channels) -> tuple of n_out [nz, nyb, CAP, NLANE].
+    force(x, y, z, *channels[, strag]) -> tuple of n_out [nz, nyb, CAP,
+    NLANE] grid outputs. When ``spec.n_strag > 0`` a broadcast straggler
+    block (``broadcast_strag_channels``) is a required trailing input and
+    n_out extra [nz, nyb, S, NLANE] per-program straggler partials are
+    appended (sum over (0, 1, 3) outside for the totals). The straggler
+    pass evaluates pair_fn in BOTH directions (grid -> home outputs and,
+    with negated displacements and swapped channel roles, home -> straggler
+    partials), so pair_fn must be pure broadcasting arithmetic — true of
+    every transverser here. ``pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+    -> (fwd_outs, bwd_outs)`` optionally fuses the two directions so the
+    radial-function evaluation is shared (the PSE Horner polynomials are
+    ~60% of the pair cost). Straggler-straggler pairs are NOT included
+    (O(S^2), do them in plain XLA — see pse_engine._strag_pair_apply).
     """
     nx, ny, nz = spec.shape
     F = spec.fold
     nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
-    Ly, Lz = spec.box_size[1], spec.box_size[2]
+    Lx, Ly, Lz = spec.box_size
+    S = spec.n_strag
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -307,8 +321,10 @@ def make_pair_channel_kernel(
     # unchunked spills ~180 MB at cap = 64; a lax.fori_loop body bounds the
     # live set but serializes the VPU ~90x (no cross-iteration pipelining);
     # home-chunking keeps full throughput up to cap ~ 48. Larger caps
-    # need a straggler-style occupancy split (round-3 item).
-    budget = 48 * 1024 * 1024 // (27 * 12 * cap * nlane * 4)
+    # use the straggler occupancy split (spec.n_strag).
+    budget = 48 * 1024 * 1024 // (
+        (27 * 12 * cap + (24 * S if S else 0)) * nlane * 4
+    )
     home_chunk = cap
     while home_chunk > 8 and home_chunk > budget:
         home_chunk //= 2
@@ -317,10 +333,11 @@ def make_pair_channel_kernel(
 
     offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
     n_arr = 3 + n_chan  # coordinate + channel arrays
+    n_in = 9 * n_arr + (1 if S else 0)
 
     def kernel(*refs):
-        ins = refs[: 9 * n_arr]
-        outs = refs[9 * n_arr:]
+        ins = refs[:n_in]
+        outs = refs[n_in:]
         zpid = pl.program_id(0)
         ypid = pl.program_id(1)
         consts = _lane_constants(spec)
@@ -373,6 +390,20 @@ def make_pair_channel_kernel(
         def hslice(a, h0):
             return jax.lax.slice_in_dim(a, h0, h0 + home_chunk, axis=0)
 
+        if S:
+            sblk = ins[9 * n_arr][:, :, :]  # [n_arr + 1, S, nlane]
+            sx = sblk[0][None, :, :]
+            sy = sblk[1][None, :, :]
+            sz = sblk[2][None, :, :]
+            ch_s = [sblk[3 + c][None, :, :] for c in range(n_chan)]
+            sval = sblk[n_arr][None, :, :] > 0.5
+            saccs = [
+                jnp.zeros((S, nlane), jnp.float32) for _ in range(n_out)
+            ]
+            iLx, iLy, iLz = (
+                np.float32(1.0 / v) for v in (Lx, Ly, Lz)
+            )
+
         for h0 in range(0, cap, home_chunk):
             hs = slice(h0, h0 + home_chunk)
             xi_ = hslice(home[0], h0)[:, None, :]
@@ -392,8 +423,37 @@ def make_pair_channel_kernel(
                 contribs = pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
                 for o in range(n_out):
                     accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+            if S:
+                # straggler broadcast block: explicit minimum image (a
+                # straggler is anywhere in the box), plus a hard validity
+                # mask — the MI wrap can fold EMPTY_POS sentinels back into
+                # cutoff range, so the r2 test alone is not safe here.
+                dxv = sx - xi_
+                dyv = sy - yi_
+                dzv = sz - zi_
+                dxv = dxv - np.float32(Lx) * jnp.round(dxv * iLx)
+                dyv = dyv - np.float32(Ly) * jnp.round(dyv * iLy)
+                dzv = dzv - np.float32(Lz) * jnp.round(dzv * iLz)
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                ok = sval & (xi_ < np.float32(1.0e8))
+                r2m = jnp.where(ok, r2, np.float32(1.0e18))
+                if pair_both_fn is not None:
+                    contribs, back = pair_both_fn(
+                        r2m, dxv, dyv, dzv, ch_i, ch_s
+                    )
+                else:
+                    contribs = pair_fn(r2m, dxv, dyv, dzv, ch_i, ch_s)
+                    # reverse direction: straggler as receiver (negated
+                    # displacements, swapped channel roles)
+                    back = pair_fn(r2m, -dxv, -dyv, -dzv, ch_s, ch_i)
+                for o in range(n_out):
+                    accs[o] = accs[o] + jnp.sum(contribs[o], axis=1)
+                    saccs[o] = saccs[o] + jnp.sum(back[o], axis=0)
             for o in range(n_out):
                 outs[o][0, 0, hs, :] = accs[o]
+        if S:
+            for o in range(n_out):
+                outs[n_out + o][0, 0, :, :] = saccs[o]
 
     def block_spec(dz, dyb):
         return pl.BlockSpec(
@@ -405,38 +465,72 @@ def make_pair_channel_kernel(
     in_specs = [
         block_spec(dz, dyb) for _ in range(n_arr) for (dz, dyb) in offsets
     ]
+    if S:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_arr + 1, S, nlane), lambda z, yb: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     out_spec = pl.BlockSpec(
         (1, 1, cap, nlane),
         lambda z, yb: (z, yb, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_specs = [out_spec] * n_out
     out_shape = [
         jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
     ] * n_out
+    if S:
+        out_specs += [
+            pl.BlockSpec(
+                (1, 1, S, nlane), lambda z, yb: (z, yb, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * n_out
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, nyb, S, nlane), jnp.float32)
+        ] * n_out
 
     bytes_per_block = cap * nlane * 4
     cost = pl.CostEstimate(
-        flops=nz * nyb * 27 * cap * cap * nlane * (20 + 6 * n_chan),
+        flops=nz * nyb * (27 * cap + 2 * S) * cap * nlane * (20 + 6 * n_chan),
         bytes_accessed=nz * nyb * (27 * n_arr + n_out) * bytes_per_block,
         transcendentals=0,
     )
 
     @jax.jit
-    def apply(x, y, z, *channels):
+    def apply(x, y, z, *channels, strag=None):
         assert len(channels) == n_chan
         arrs = [x, y, z, *channels]
+        args = [arrs[i // 9] for i in range(9 * n_arr)]
+        if S:
+            args.append(strag)
         outs = pl.pallas_call(
             kernel,
             grid=(nz, nyb),
             in_specs=in_specs,
-            out_specs=[out_spec] * n_out,
+            out_specs=out_specs,
             out_shape=out_shape,
             cost_estimate=cost,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(*(arrs[i // 9] for i in range(9 * n_arr)))
+        )(*args)
         return outs
 
     return apply
+
+
+def broadcast_strag_channels(spec: GridSpec, spos, schannels, spid):
+    """[S, 3] straggler positions + [S] channels + validity -> the
+    [3 + C + 1, S, NLANE] broadcast block consumed by the channel kernel."""
+    S = spec.n_strag
+    val = (spid >= 0).astype(jnp.float32)
+    stack = jnp.stack(
+        [spos[:, 0], spos[:, 1], spos[:, 2], *schannels, val]
+    )  # [3 + C + 1, S]
+    return jnp.broadcast_to(
+        stack[:, :, None], (stack.shape[0], S, spec.nlane)
+    )

@@ -43,7 +43,10 @@ import numpy as np
 
 from ...core.box import Box
 from ...engine.layout import ChannelGrid, choose_spec, pack_channels, unpack_values
-from ...engine.pair_kernel import make_pair_channel_kernel
+from ...engine.pair_kernel import (
+    broadcast_strag_channels,
+    make_pair_channel_kernel,
+)
 from ...solvers.lanczos import lanczos_sqrt_apply
 from .fcm import FCM
 from .pse import _blob_fg, _rpy_fg
@@ -83,11 +86,16 @@ class PSEGrid:
         prefer_pow2: bool = False,
         pos=None,
         far_grid: int | None = None,
+        n_strag: int = 0,
     ):
         """``far_grid`` overrides xi by pinning the far-field FFT size per
         axis (e.g. 128 for a pow2-friendly TPU FFT): the Ewald split is
         derived backwards from the grid. ``pos`` sizes the near-field cell
-        CAP from the measured occupancy instead of the Poisson estimate."""
+        CAP from the measured occupancy instead of the Poisson estimate.
+        ``n_strag`` (with ``pos``) enables the straggler occupancy split:
+        CAP shrinks to the bulk quantile and the tail rides in a dense [S]
+        side list through the channel kernel's broadcast block — CAP^2
+        drives the near-field cost, so this is the main matvec knob."""
         Ls = [float(s) for s in jax.device_get(box.size)]
         if far_grid is not None:
             # FCM.create picks grid = ceil(L * ppw / sigma_split) per axis;
@@ -110,8 +118,17 @@ class PSEGrid:
             rpy_sinc_radius=radius,
             hasimoto_k2=sigma_split * sigma_split,
         )
-        # engine spec: cells >= rcut (skin 1.0 — re-binned every step)
-        spec = choose_spec(Ls, n, rcut, skin=1.0, cap=cap, pos=pos)
+        # engine spec: cells >= rcut (skin 1.0 — re-binned every step).
+        # No per-cell excess constraint in straggler mode: the grid is
+        # repacked fresh every step (no incremental-rebin mini-grid).
+        # 1.5x headroom (not the LJ engine's 3x): the grid is repacked from
+        # scratch every step, so a drifting configuration can't accumulate
+        # stragglers — only the instantaneous occupancy tail matters.
+        spec = choose_spec(
+            Ls, n, rcut, skin=1.0, cap=cap, pos=pos,
+            n_strag=n_strag, strag_cell_excess=1 << 30,
+            strag_headroom=1.5,
+        )
 
         # ---- piecewise polynomial fit of the near-field radial functions
         qb = min(2.0 * radius / rcut, 1.0)
@@ -175,9 +192,9 @@ class PSEGrid:
         a1, b1 = (np.float32(v) for v in self.uscale[0])
         a2, b2 = (np.float32(v) for v in self.uscale[1])
 
-        def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
-            # exclude self (r2 == 0 exactly) and beyond-cutoff; empties sit
-            # at EMPTY_POS -> r2 huge -> outside
+        def radial(r2):
+            # shared radial evaluation: exclude self (r2 == 0 exactly) and
+            # beyond-cutoff; empties sit at EMPTY_POS -> r2 huge -> outside
             inside = (r2 < rc2) & (r2 > 1e-10)
             r2s = jnp.where(inside, r2, 1.0)
             rinv = jax.lax.rsqrt(r2s)
@@ -188,58 +205,138 @@ class PSEGrid:
             f = jnp.where(near, horner(cf1, u1), horner(cf2, u2))
             g = jnp.where(near, horner(cg1, u1), horner(cg2, u2))
             f = jnp.where(inside, f, 0.0)
-            fx, fy, fz = ch_j
-            fdotr = fx * dxv + fy * dyv + fz * dzv
-            gc = jnp.where(inside, g * fdotr * (rinv * rinv), 0.0)
-            return (
-                f * fx + gc * dxv,
-                f * fy + gc * dyv,
-                f * fz + gc * dzv,
-            )
+            ginv2 = jnp.where(inside, g * (rinv * rinv), 0.0)
+            return f, ginv2
 
-        return pair_fn
+        def apply_dir(f, ginv2, dxv, dyv, dzv, ch):
+            fx, fy, fz = ch
+            gc = ginv2 * (fx * dxv + fy * dyv + fz * dzv)
+            return (f * fx + gc * dxv, f * fy + gc * dyv, f * fz + gc * dzv)
+
+        def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
+            f, ginv2 = radial(r2)
+            return apply_dir(f, ginv2, dxv, dyv, dzv, ch_j)
+
+        def pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
+            # both directions off ONE radial evaluation (the Horner chains
+            # dominate the pair cost); the g-term sign is even in r
+            f, ginv2 = radial(r2)
+            fwd = apply_dir(f, ginv2, dxv, dyv, dzv, ch_j)
+            bwd = apply_dir(f, ginv2, -dxv, -dyv, -dzv, ch_i)
+            return fwd, bwd
+
+        return pair_fn, pair_both_fn
 
     def _kernel(self):
         cache = self.__dict__.get("_kern_cache")
         if cache is None:
-            cache = make_pair_channel_kernel(self.spec, self._pair_fn(), 3, 3)
+            pf, pbf = self._pair_fn()
+            cache = make_pair_channel_kernel(
+                self.spec, pf, 3, 3, pair_both_fn=pbf
+            )
             object.__setattr__(self, "_kern_cache", cache)
         return cache
 
     # --------------------------------------------------------- slot space
-    def near_matvec_slots(self, cg: ChannelGrid, fx, fy, fz):
-        """M_near on slot-space vectors (fx, fy, fz [nz, nyb, CAP, NLANE])."""
+    def _strag_pair_apply(self, spos, spid, sfx, sfy, sfz):
+        """O(S^2) straggler-straggler near-field contributions [S] x 3
+        (minimum image; the channel kernel only covers grid<->straggler)."""
+        pair_fn, _ = self._pair_fn()
+        Ls = jnp.asarray(self.spec.box_size, jnp.float32)
+        val = spid >= 0
+        d = spos[None, :, :] - spos[:, None, :]
+        d = d - Ls * jnp.round(d / Ls)
+        r2 = jnp.sum(d * d, axis=-1)
+        ok = val[None, :] & val[:, None]
+        ok = ok & ~jnp.eye(spos.shape[0], dtype=bool)
+        r2m = jnp.where(ok, r2, np.float32(1.0e18))[:, :, None]
+        ch_i = tuple(c[:, None, None] for c in (sfx, sfy, sfz))
+        ch_j = tuple(c[None, :, None] for c in (sfx, sfy, sfz))
+        out = pair_fn(
+            r2m, d[:, :, 0:1], d[:, :, 1:2], d[:, :, 2:3], ch_i, ch_j
+        )
+        return tuple(jnp.sum(o, axis=1)[:, 0] for o in out)
+
+    def near_matvec_slots(self, cg: ChannelGrid, fx, fy, fz, sf3=None):
+        """M_near on slot-space vectors (fx, fy, fz [nz, nyb, CAP, NLANE];
+        plus, in straggler mode, sf3 = (sfx, sfy, sfz) [S] rows). Returns
+        the matching (vx, vy, vz[, sv3]) structure."""
         sf = np.float32(self.self_f)
-        vx, vy, vz = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz)
-        return vx + sf * fx, vy + sf * fy, vz + sf * fz
+        S = self.spec.n_strag
+        if S == 0:
+            vx, vy, vz = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz)
+            return vx + sf * fx, vy + sf * fy, vz + sf * fz
+        sfx, sfy, sfz = sf3
+        blk = broadcast_strag_channels(
+            self.spec, cg.spos, (sfx, sfy, sfz), cg.spid
+        )
+        outs = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz, strag=blk)
+        vx, vy, vz = (o + sf * f for o, f in zip(outs[:3], (fx, fy, fz)))
+        # straggler rows: grid->straggler partials + O(S^2) pairs + self
+        smask = (cg.spid >= 0).astype(jnp.float32)
+        sv = [jnp.sum(outs[3 + c], axis=(0, 1, 3)) for c in range(3)]
+        ss = self._strag_pair_apply(cg.spos, cg.spid, sfx, sfy, sfz)
+        sv3 = tuple(
+            (p + s + sf * f) * smask
+            for p, s, f in zip(sv, ss, (sfx, sfy, sfz))
+        )
+        return vx, vy, vz, sv3
 
     def _near_noise_slots(self, cg: ChannelGrid, key):
         """sqrt(M_near) dW in slot space via Lanczos (empty slots carry
-        exact zeros through: masked start vector + zero operator rows)."""
+        exact zeros through: masked start vector + zero operator rows).
+        In straggler mode the Krylov vector is the concatenation of the
+        grid slots and the [S] straggler rows."""
         shape = cg.x.shape
+        S = self.spec.n_strag
+        T = int(np.prod(shape))
         mask = (cg.pid >= 0).astype(jnp.float32)
         k1, k2, k3 = jax.random.split(key, 3)
         z = jnp.stack([
             jax.random.normal(k, shape, jnp.float32) * mask
             for k in (k1, k2, k3)
-        ])
+        ]).reshape(3, -1)
+        if S:
+            smask = (cg.spid >= 0).astype(jnp.float32)
+            zs = jax.random.normal(
+                jax.random.fold_in(key, 7), (3, S), jnp.float32
+            ) * smask
+            z = jnp.concatenate([z, zs], axis=1)
 
         def mv(v):
-            g = v.reshape((3,) + shape)
-            ox, oy, oz = self.near_matvec_slots(cg, g[0], g[1], g[2])
+            g = v.reshape((3, -1))
+            gg = g[:, :T].reshape((3,) + shape)
+            if S:
+                gs = g[:, T:]
+                ox, oy, oz, sv3 = self.near_matvec_slots(
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
+                )
+                flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
+                return jnp.concatenate(
+                    [flat, jnp.stack(sv3)], axis=1
+                ).reshape(-1)
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
             return jnp.stack([ox, oy, oz]).reshape(-1)
 
         out, res = lanczos_sqrt_apply(
             mv, z.reshape(-1), m=self.lanczos_iterations
         )
-        o = out.reshape((3,) + shape)
-        return o[0], o[1], o[2], res
+        o = out.reshape((3, -1))
+        og = o[:, :T].reshape((3,) + shape)
+        s3 = (o[:, T:] if S else None)
+        return og[0], og[1], og[2], s3, res
 
     # ------------------------------------------------- [N]-order interface
     def near_matvec(self, pos, forces):
         cg = pack_channels(self.spec, pos, forces)
-        v = self.near_matvec_slots(cg, *cg.channels)
-        out = unpack_values(cg, v)
+        if self.spec.n_strag:
+            *v, sv3 = self.near_matvec_slots(
+                cg, *cg.channels, sf3=cg.schannels
+            )
+            out = unpack_values(cg, v, svalues=sv3)
+        else:
+            v = self.near_matvec_slots(cg, *cg.channels)
+            out = unpack_values(cg, v)
         return out.astype(pos.dtype)
 
     def compute_mf(self, pos, forces):
@@ -251,8 +348,11 @@ class PSEGrid:
         cg = pack_channels(
             self.spec, pos, jnp.zeros((pos.shape[0], 3), jnp.float32)
         )
-        nx_, ny_, nz_, _ = self._near_noise_slots(cg, k2)
-        near = unpack_values(cg, (nx_, ny_, nz_)).astype(pos.dtype)
+        nx_, ny_, nz_, s3, _ = self._near_noise_slots(cg, k2)
+        near = unpack_values(
+            cg, (nx_, ny_, nz_),
+            svalues=(tuple(s3) if s3 is not None else None),
+        ).astype(pos.dtype)
         return far_noise + near
 
     def divergence(self, pos):
@@ -264,17 +364,28 @@ class PSEGrid:
         spectral pass (the whole EM right-hand side; reference:
         BDHI_EulerMaruyama.cu:145-165 fused)."""
         amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
+        S = self.spec.n_strag
         with jax.named_scope("uammd.pse.pack"):
             cg = pack_channels(self.spec, pos, forces)
         with jax.named_scope("uammd.pse.near_mf"):
-            vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
+            if S:
+                vx, vy, vz, sv3 = self.near_matvec_slots(
+                    cg, *cg.channels, sf3=cg.schannels
+                )
+                sv3 = list(sv3)
+            else:
+                vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
         if temperature > 0:
             k1, k2 = jax.random.split(key)
-            bx, by, bz, _ = self._near_noise_slots(cg, k2)
+            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
             a = np.float32(amp)
             vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
+            if S:
+                sv3 = [s + a * b for s, b in zip(sv3, b3)]
             far_v = self.far.compute_mf_bdw(pos, forces, k1, amp)
         else:
             far_v = self.far.compute_mf(pos, forces)
-        near = unpack_values(cg, (vx, vy, vz)).astype(pos.dtype)
+        near = unpack_values(
+            cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)
+        ).astype(pos.dtype)
         return dt * (near + far_v), cg.overflow

@@ -188,28 +188,29 @@ def spread_auto(kernel, pos, values, shape, box: Box, *, threshold=4096,
     (wrap contributions would be dropped — see tiled_ibm.tile_shape_ok).
     A tile-capacity overflow NaN-poisons the result rather than silently
     dropping particles; pass ``cap`` for unusually clustered densities."""
-    from .tiled_ibm import TILE, spread_tiled, tile_shape_ok
+    from .tiled_ibm import pick_tile, spread_tiled, tile_shape_ok
 
+    tile = pick_tile(shape, kernel.support)
     if (
         pos.shape[0] >= threshold
-        and kernel.support <= TILE
-        and tile_shape_ok(shape, kernel.support)
+        and tile_shape_ok(shape, kernel.support, tile)
     ):
         field, overflow = spread_tiled(kernel, pos, values, shape, box,
-                                       cap=cap)
+                                       cap=cap, tile=tile)
         return _poison(field, overflow)
     return spread(kernel, pos, values, shape, box)
 
 
 def interpolate_auto(kernel, pos, field, box: Box, *, threshold=4096,
                      cap=None):
-    from .tiled_ibm import TILE, interpolate_tiled, tile_shape_ok
+    from .tiled_ibm import interpolate_tiled, pick_tile, tile_shape_ok
 
+    tile = pick_tile(field.shape[:3], kernel.support)
     if (
         pos.shape[0] >= threshold
-        and kernel.support <= TILE
-        and tile_shape_ok(field.shape[:3], kernel.support)
+        and tile_shape_ok(field.shape[:3], kernel.support, tile)
     ):
-        out, overflow = interpolate_tiled(kernel, pos, field, box, cap=cap)
+        out, overflow = interpolate_tiled(kernel, pos, field, box, cap=cap,
+                                          tile=tile)
         return _poison(out, overflow)
     return interpolate(kernel, pos, field, box)

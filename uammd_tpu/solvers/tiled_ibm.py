@@ -5,25 +5,29 @@ src/misc/IBM.cuh), but reorganized for the TPU memory system: XLA scatters
 run at ~1 GB/s on this platform, so the naive one-big-scatter spread costs
 seconds at N ~ 1e5 on fine grids. Here:
 
-1. particles are binned into 8^3-point grid *tiles* by the same two-sort
+1. particles are binned into TILE^3-point grid *tiles* by the same two-sort
    filler algorithm as the MD engine (engine/layout._bin_columns idea) —
    no scatters, empty slots carry a far-away sentinel position so their
    kernel weights vanish identically (no masks);
 2. each tile *pulls* sources from its 27 tile neighborhood (jnp.roll over
    tile axes — regular memory movement), evaluates the separable kernel
-   weights for its 8 points per axis, and accumulates its 8x8x8 patch with
-   one batched contraction (MXU matmuls), chunked over tiles;
-3. interpolation is the adjoint: each tile gathers its 24^3-point halo
-   window of the field (27 rolls) and contracts it with its own particles'
-   separable weights, axis by axis.
+   weights for its TILE points per axis, and accumulates its TILE^3 patch
+   with one batched contraction (MXU matmuls), chunked over tiles;
+3. interpolation is the adjoint: each tile gathers its (3*TILE)^3-point
+   halo window of the field (27 rolls) and contracts it with its own
+   particles' separable weights, axis by axis.
 
-Requirements: kernel support <= TILE (8) grid points, so a particle's
-stencil never extends beyond the neighboring tile.
+Correctness requirement: ceil(support/2) <= TILE, so a particle's stencil
+never extends beyond the neighboring tile. The DEFAULT tile is therefore 4
+for support <= 8 kernels (the PSE/FCM Gaussians) and 8 for wider ones: the
+27-neighborhood volume a tile pulls is (3*TILE)^3, so halving the tile cuts
+the per-point candidate volume 8x (24^3 -> 12^3 around each target point)
+at the cost of a relatively larger empty-slot padding fraction in each bin
+— measured on v5e, tile 4 is ~2.5-3x faster end-to-end at 128k/150^3.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import jax
@@ -32,19 +36,28 @@ import numpy as np
 
 from ..core.box import Box
 
-TILE = 8
+TILE = 8  # maximum supported tile (kernels up to support 16)
 EMPTY = 1.0e9
 
 
-def _tile_counts(shape):
-    return tuple((s + TILE - 1) // TILE for s in shape)
+def _tile_counts(shape, tile):
+    return tuple((s + tile - 1) // tile for s in shape)
 
 
-def tile_shape_ok(shape, support) -> bool:
+def pick_tile(shape, support) -> int:
+    """Smallest legal tile for this (shape, support): 4 when the kernel
+    half-support fits and the shape allows it, else 8."""
+    for t in (4, 8):
+        if (support + 1) // 2 <= t and tile_shape_ok(shape, support, t):
+            return t
+    return TILE
+
+
+def tile_shape_ok(shape, support, tile=TILE) -> bool:
     """True iff the 27-tile pull neighborhood reaches every wrap image.
 
-    When an axis is not a multiple of TILE, the trailing tile is partial
-    (w = shape % TILE real points).  A particle at the end of tile nt-2
+    When an axis is not a multiple of ``tile``, the trailing tile is partial
+    (w = shape % tile real points).  A particle at the end of tile nt-2
     reaches wrapped points up to index ceil(support/2) - 1 past the domain
     end; those land in tile 0, which is NOT in tile nt-2's roll
     neighborhood, silently dropping the contribution.  Safe iff the partial
@@ -52,14 +65,25 @@ def tile_shape_ok(shape, support) -> bool:
     per axis (and nt >= 3 so the 27 rolls are distinct tiles).
     """
     half = (support + 1) // 2
+    if half > tile:
+        return False
     for s in shape:
-        w = s % TILE
+        w = s % tile
         if w != 0 and w < half:
             return False
-    return min(_tile_counts(shape)) >= 3
+    return min(_tile_counts(shape, tile)) >= 3
 
 
-def _bin_by_tile(pos, values, shape, box: Box, cap: int, *, with_pid=False):
+def _default_cap(n, shape, tile):
+    """Bin capacity: mean occupancy + ~5 sigma Poisson margin + slack.
+    (The old 2*lam + 4 rule under-covers small tiles where fluctuations
+    dominate the mean: lam ~ 2.5 at tile 4 on the 128k/150^3 workload.)"""
+    lam = n * tile**3 / float(shape[0] * shape[1] * shape[2])
+    return max(4, int(math.ceil(lam + 5.0 * math.sqrt(lam))) + 4)
+
+
+def _bin_by_tile(pos, values, shape, box: Box, cap: int, tile, *,
+                 with_pid=False):
     """-> sources [ntiles, cap, 3 + C] (xyz then values), tile-major order
     (plus an int32 pid bin [ntiles, cap], 1-based with 0 = empty, when
     ``with_pid``; kept as a separate integer sort column so ids stay exact
@@ -68,7 +92,7 @@ def _bin_by_tile(pos, values, shape, box: Box, cap: int, *, with_pid=False):
     Two variadic sorts with one filler per slot (see engine/layout.py for
     the algorithm discussion); empties get EMPTY positions and zero values.
     """
-    nt = _tile_counts(shape)
+    nt = _tile_counts(shape, tile)
     ntiles = nt[0] * nt[1] * nt[2]
     n = pos.shape[0]
     L = box.size.astype(pos.dtype)
@@ -77,7 +101,7 @@ def _bin_by_tile(pos, values, shape, box: Box, cap: int, *, with_pid=False):
     frac = pos / L + 0.5
     frac = frac - jnp.floor(frac)
     u = frac * nvec
-    tidx = jnp.minimum((u / TILE).astype(jnp.int32), jnp.asarray(nt) - 1)
+    tidx = jnp.minimum((u / tile).astype(jnp.int32), jnp.asarray(nt) - 1)
     key = (tidx[:, 0] * nt[1] + tidx[:, 1]) * nt[2] + tidx[:, 2]
 
     cols = [pos[:, 0], pos[:, 1], pos[:, 2]] + [values[:, c] for c in range(values.shape[1])]
@@ -115,7 +139,7 @@ def _bin_by_tile(pos, values, shape, box: Box, cap: int, *, with_pid=False):
     return out, overflow
 
 
-def _tile_centers(shape, Ls, dtype):
+def _tile_centers(shape, Ls, dtype, tile):
     """Physical center coordinate of each tile per axis: [nt_d] arrays
     (jit-traceable — Ls may be traced box sizes).
 
@@ -126,16 +150,16 @@ def _tile_centers(shape, Ls, dtype):
     outs = []
     for d in range(3):
         h = Ls[d] / shape[d]
-        ntd = (shape[d] + TILE - 1) // TILE
-        centers = (jnp.arange(ntd, dtype=dtype) * TILE + TILE / 2.0) * h \
+        ntd = (shape[d] + tile - 1) // tile
+        centers = (jnp.arange(ntd, dtype=dtype) * tile + tile / 2.0) * h \
             - Ls[d] / 2.0
         outs.append(centers)
     return outs
 
 
-def _local_offsets(dtype):
-    """Grid-point offsets from the tile center, in units of h: [-3.5..3.5]."""
-    return jnp.arange(TILE, dtype=dtype) - (TILE - 1) / 2.0
+def _local_offsets(dtype, tile):
+    """Grid-point offsets from the tile center, in units of h."""
+    return jnp.arange(tile, dtype=dtype) - (tile - 1) / 2.0
 
 
 def _wrap1(dx, L):
@@ -156,37 +180,36 @@ def _gather_neighborhood(bins, nt):
 
 
 def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
-                 chunk=1024):
+                 chunk=1024, tile=None):
     """S: values [N] or [N, C] -> field [nx, ny, nz(, C)]. Same semantics as
     solvers.ibm.spread (1/dV density normalization)."""
-    assert kernel.support <= TILE, "kernel support must fit one tile"
-    assert tile_shape_ok(shape, kernel.support), (
+    if tile is None:
+        tile = pick_tile(shape, kernel.support)
+    assert (kernel.support + 1) // 2 <= tile, \
+        "kernel half-support must fit one tile"
+    assert tile_shape_ok(shape, kernel.support, tile), (
         f"grid shape {tuple(shape)} has a partial trailing tile narrower "
-        f"than the kernel half-support (support {kernel.support}); wrap "
-        "contributions would be dropped — use ibm.spread/spread_auto"
+        f"than the kernel half-support (support {kernel.support}, tile "
+        f"{tile}); wrap contributions would be dropped — use ibm.spread"
     )
     squeeze = values.ndim == 1
     if squeeze:
         values = values[:, None]
     C = values.shape[1]
-    nt = _tile_counts(shape)
+    nt = _tile_counts(shape, tile)
     ntiles = nt[0] * nt[1] * nt[2]
     n = pos.shape[0]
     if cap is None:
-        # size from FULL-tile volume (TILE^3 grid cells), not n/ntiles:
-        # partial trailing tiles shrink the average but not the interior
-        # tiles' actual occupancy
-        full_tile_frac = TILE**3 / float(shape[0] * shape[1] * shape[2])
-        cap = max(4, int(math.ceil(n * full_tile_frac * 2.0)) + 4)
+        cap = _default_cap(n, shape, tile)
     dtype = values.dtype
     Ls = box.size.astype(dtype)
     h = [Ls[d] / shape[d] for d in range(3)]
     inv_dV = 1.0 / (h[0] * h[1] * h[2])
 
-    bins, overflow = _bin_by_tile(pos, values, shape, box, cap)
+    bins, overflow = _bin_by_tile(pos, values, shape, box, cap, tile)
     src = _gather_neighborhood(bins, nt)  # [ntiles, 27cap, 3+C]
-    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype)
-    loc = _local_offsets(dtype)  # [TILE] in h units
+    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype, tile)
+    loc = _local_offsets(dtype, tile)  # [tile] in h units
 
     S = src.shape[1]
     tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
@@ -197,18 +220,18 @@ def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
         rx = _wrap1(s_c[:, :, 0] - cx_[tx_c][:, None], Ls[0]) / h[0]
         ry = _wrap1(s_c[:, :, 1] - cy_[ty_c][:, None], Ls[1]) / h[1]
         rz = _wrap1(s_c[:, :, 2] - cz_[tz_c][:, None], Ls[2]) / h[2]
-        # weights per axis: [Ct, S, TILE]
+        # weights per axis: [Ct, S, tile]
         wx = kernel.phi(loc[None, None, :] - rx[:, :, None])
         wy = kernel.phi(loc[None, None, :] - ry[:, :, None])
         wz = kernel.phi(loc[None, None, :] - rz[:, :, None])
         vals = s_c[:, :, 3:]  # [Ct, S, C]
-        wxy = wx[:, :, :, None] * wy[:, :, None, :]  # [Ct, S, 8, 8]
-        wxy = wxy.reshape(wxy.shape[0], S, TILE * TILE)
-        b = wz[:, :, :, None] * vals[:, :, None, :]  # [Ct, S, 8, C]
-        b = b.reshape(b.shape[0], S, TILE * C)
+        wxy = wx[:, :, :, None] * wy[:, :, None, :]  # [Ct, S, t, t]
+        wxy = wxy.reshape(wxy.shape[0], S, tile * tile)
+        b = wz[:, :, :, None] * vals[:, :, None, :]  # [Ct, S, t, C]
+        b = b.reshape(b.shape[0], S, tile * C)
         patch = jnp.einsum(
             "tsk,tsm->tkm", wxy, b, preferred_element_type=dtype
-        )  # [Ct, 64, 8*C]
+        )  # [Ct, t*t, t*C]
         return patch
 
     pad_t = (-ntiles) % chunk
@@ -223,12 +246,12 @@ def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
             (tid % nt[2]).reshape(-1, chunk),
         ),
     )
-    patches = patches.reshape(-1, TILE * TILE, TILE * C)[:ntiles]
-    patches = patches.reshape(ntiles, TILE, TILE, TILE, C)
-    # assemble [ntx*8, nty*8, ntz*8, C] then fold the padding back (PBC alias)
-    field = patches.reshape(nt[0], nt[1], nt[2], TILE, TILE, TILE, C)
+    patches = patches.reshape(-1, tile * tile, tile * C)[:ntiles]
+    patches = patches.reshape(ntiles, tile, tile, tile, C)
+    # assemble [ntx*t, nty*t, ntz*t, C] then fold the padding back (PBC alias)
+    field = patches.reshape(nt[0], nt[1], nt[2], tile, tile, tile, C)
     field = field.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-        nt[0] * TILE, nt[1] * TILE, nt[2] * TILE, C
+        nt[0] * tile, nt[1] * tile, nt[2] * tile, C
     )
     # ghost points (tile padding) are redundant copies: every real grid
     # point belongs to exactly one tile, which pulls all sources within
@@ -239,7 +262,7 @@ def spread_tiled(kernel, pos, values, shape, box: Box, *, cap=None,
     return (field[..., 0] if squeeze else field), overflow
 
 
-def _pad_field_tiles(field, shape):
+def _pad_field_tiles(field, shape, tile):
     """Zero-pad the field to tile multiples for window reads.
 
     Ghost points are ZERO (not periodic copies): each real point is read
@@ -248,34 +271,34 @@ def _pad_field_tiles(field, shape):
     block and double count."""
     pads = []
     for d in range(3):
-        target = _tile_counts(shape)[d] * TILE
+        target = _tile_counts(shape, tile)[d] * tile
         pads.append((0, target - field.shape[d]))
     pads.append((0, 0))
     return jnp.pad(field, pads)
 
 
-def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
+def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512,
+                      tile=None):
     """J = S^*: field [nx, ny, nz(, C)] -> [N(, C)], adjoint of spread_tiled."""
-    assert kernel.support <= TILE
     squeeze = field.ndim == 3
     if squeeze:
         field = field[..., None]
     C = field.shape[-1]
     shape = field.shape[:3]
-    assert tile_shape_ok(shape, kernel.support), (
+    if tile is None:
+        tile = pick_tile(shape, kernel.support)
+    assert (kernel.support + 1) // 2 <= tile, \
+        "kernel half-support must fit one tile"
+    assert tile_shape_ok(shape, kernel.support, tile), (
         f"grid shape {tuple(shape)} has a partial trailing tile narrower "
-        f"than the kernel half-support (support {kernel.support}); wrap "
-        "contributions would be dropped — use ibm.interpolate/_auto"
+        f"than the kernel half-support (support {kernel.support}, tile "
+        f"{tile}); wrap contributions would be dropped — use ibm.interpolate"
     )
-    nt = _tile_counts(shape)
+    nt = _tile_counts(shape, tile)
     ntiles = nt[0] * nt[1] * nt[2]
     n = pos.shape[0]
     if cap is None:
-        # size from FULL-tile volume (TILE^3 grid cells), not n/ntiles:
-        # partial trailing tiles shrink the average but not the interior
-        # tiles' actual occupancy
-        full_tile_frac = TILE**3 / float(shape[0] * shape[1] * shape[2])
-        cap = max(4, int(math.ceil(n * full_tile_frac * 2.0)) + 4)
+        cap = _default_cap(n, shape, tile)
     dtype = field.dtype
     Ls = box.size.astype(dtype)
     h = [Ls[d] / shape[d] for d in range(3)]
@@ -283,22 +306,22 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
     # bin particles WITH their index (separate int32 column — exact for any
     # N, unlike float packing) so results can be unbinned
     bins, pid_bins, overflow = _bin_by_tile(
-        pos, jnp.zeros((n, 0), dtype), shape, box, cap, with_pid=True
+        pos, jnp.zeros((n, 0), dtype), shape, box, cap, tile, with_pid=True
     )
     # 27 per-offset passes: each contracts the particles' separable weights
     # against ONE rolled copy of the tiled field (memory stays ~2x the
-    # field; materializing the 24^3 windows would cost 27x).
-    fpad = _pad_field_tiles(field, shape)
-    ft = fpad.reshape(nt[0], TILE, nt[1], TILE, nt[2], TILE, C).transpose(
+    # field; materializing the (3t)^3 windows would cost 27x).
+    fpad = _pad_field_tiles(field, shape, tile)
+    ft = fpad.reshape(nt[0], tile, nt[1], tile, nt[2], tile, C).transpose(
         0, 2, 4, 1, 3, 5, 6
-    )  # [ntx, nty, ntz, 8, 8, 8, C]
+    )  # [ntx, nty, ntz, t, t, t, C]
 
-    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype)
-    loc = _local_offsets(dtype)
+    cx_, cy_, cz_ = _tile_centers(shape, Ls, dtype, tile)
+    loc = _local_offsets(dtype, tile)
     tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
 
     def block_weights(svals, centers, t_c, L, hd, ntd, dt):
-        """[Ct, cap, TILE] weights vs the 8 points of tile (t + dt)."""
+        """[Ct, cap, tile] weights vs the points of tile (t + dt)."""
         cb = centers[(t_c + dt) % ntd]
         r = _wrap1(svals - cb[:, None], L) / hd
         return kernel.phi(loc[None, None, :] - r[:, :, None])
@@ -335,7 +358,7 @@ def interpolate_tiled(kernel, pos, field, box: Box, *, cap=None, chunk=512):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
                 w_roll = jnp.roll(ft, (-dx, -dy, -dz), axis=(0, 1, 2))
-                w_roll = w_roll.reshape(ntiles, TILE, TILE, TILE, C)
+                w_roll = w_roll.reshape(ntiles, tile, tile, tile, C)
                 if pad_t:
                     w_roll = jnp.concatenate(
                         [w_roll,
