@@ -57,6 +57,7 @@ def test_newton_forces_match_v1(system):
     )
 
 
+@pytest.mark.slow
 def test_nve_trajectory_matches_v1(system):
     """Velocity-Verlet limit: v2 (T=0) follows v1 step_nve trajectories.
 
@@ -82,6 +83,7 @@ def test_nve_trajectory_matches_v1(system):
     assert not bool(jax.device_get(gs2.overflow))
 
 
+@pytest.mark.slow
 def test_rebin2_matches_sort_rebin(system):
     """Pallas straggler rebin == sort-based straggler rebin after drift."""
     n, L, pos = system

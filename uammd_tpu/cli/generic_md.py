@@ -64,6 +64,7 @@ def build_simulation(inp: InputFile):
         pos = lattice(n, bs, init)
     st = make_state(pos, seed=seed)
 
+    name = inp.get("integrator", str)
     force_fns = []
     pot = None
     if not inp.has("noPairForces"):
@@ -76,10 +77,15 @@ def build_simulation(inp: InputFile):
         nl = ensure_capacity(
             build_neighbor_list(st.pos, b, pot.max_cutoff), st.pos
         )
+        # MALA needs real energies in the Metropolis test (reference:
+        # MonteCarlo/ForceBiased.cuh:24-36 sums energy through the same
+        # interactors); everything else only needs forces.
+        pair_comp = Computables(force=True, energy=(name == "mcForceBiased"))
 
         def pair_fn(state, nbrs):
             nbrs = maybe_rebuild(nbrs, state.pos)
-            return pair_forces(pot, state.pos, nbrs), nbrs
+            return pair_forces(pot, state.pos, nbrs,
+                               computables=pair_comp), nbrs
 
         force_fn, aux = pair_fn, nl
     else:
@@ -115,7 +121,6 @@ def build_simulation(inp: InputFile):
                 force=jnp.broadcast_to(_f, state.pos.shape)
             ), aux
 
-    name = inp.get("integrator", str)
     dt = inp.get("dt", float)
     T = inp.get("temperature", float, default=0.0)
     if name == "verletNVE":
@@ -179,7 +184,11 @@ def build_simulation(inp: InputFile):
 
         def energy_force_fn(state, aux):
             fev, aux = base_fn(state, aux)
-            en = jnp.sum(fev.energy) if fev.energy is not None else 0.0
+            if fev.energy is None:
+                raise ValueError(
+                    "mcForceBiased requires an energy-capable force path"
+                )
+            en = jnp.sum(fev.energy)
             return en, fev.force, aux
 
         integ = force_biased(

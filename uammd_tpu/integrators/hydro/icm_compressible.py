@@ -176,10 +176,17 @@ class ICMCompressible:
                 ],
                 -1,
             )
-            divv = self._div_fd(v, parity_z=-1)  # even scalar
+            # div v has mixed z-parity at the wall: dvz/dz is even
+            # (vz odd), but dvx/dx + dvy/dy is odd (vx, vy vanish at the
+            # wall while in-plane derivatives keep their z-parity).
+            # Extend each part with its own parity before taking the
+            # gradient of the bulk-viscosity term.
+            divv_even = self._ddz_fd(v[..., 2], parity=-1)
+            divv_odd = self._dd_fd(v[..., 0], 0) + self._dd_fd(v[..., 1], 1)
             visc = self.shear_viscosity * self._lap_fd(v, parity=-1) + (
                 self.bulk_viscosity + self.shear_viscosity / 3.0
-            ) * self._grad_fd(divv, parity=+1)
+            ) * (self._grad_fd(divv_even, parity=+1)
+                 + self._grad_fd(divv_odd, parity=-1))
             dg = -adv - self._grad_fd(p, parity=+1) + visc + f_ext
         else:
             drho = -self._div(fluid.g)

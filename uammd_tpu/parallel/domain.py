@@ -173,7 +173,11 @@ def _local_rebin(spec: GridSpec, nz_loc, n_dev, axis, halo_extend,
     F = spec.fold
     nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
     Ls = spec.box_size
-    local_spec = _dc.replace(spec, shape=(nx, ny, nz_loc))
+    # n_strag must be 0 here: the straggler columns _bin_columns would
+    # produce are discarded below, and with n_strag > 0 over-CAP entries
+    # only latch overflow past the straggler budget — silently dropping
+    # particles. With 0, any over-CAP entry latches the flag.
+    local_spec = _dc.replace(spec, shape=(nx, ny, nz_loc), n_strag=0)
 
     # halo-extend the 7 quantities in one stacked ppermute pair
     stacked = jnp.stack([x, y, z, vx, vy, vz, pidf])
