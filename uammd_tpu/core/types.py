@@ -48,6 +48,10 @@ class Computables:
     force: bool = True
     energy: bool = False
     virial: bool = False
+    #: per-particle stress tensor (symmetric, packed [N, 6] as
+    #: xx, xy, xz, yy, yz, zz; trace = virial) — reference:
+    #: src/Interactor/Interactor.cuh:98
+    stress: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -62,6 +66,7 @@ class ForceEnergyVirial:
     force: jax.Array | None = None  # [N, 3]
     energy: jax.Array | None = None  # [N]
     virial: jax.Array | None = None  # [N]
+    stress: jax.Array | None = None  # [N, 6] xx, xy, xz, yy, yz, zz
 
     def __add__(self, other: "ForceEnergyVirial") -> "ForceEnergyVirial":
         def add(a, b):
@@ -75,6 +80,7 @@ class ForceEnergyVirial:
             force=add(self.force, other.force),
             energy=add(self.energy, other.energy),
             virial=add(self.virial, other.virial),
+            stress=add(self.stress, other.stress),
         )
 
     __radd__ = __add__
@@ -85,4 +91,5 @@ def zeros_fev(n: int, dtype, computables: Computables) -> ForceEnergyVirial:
         force=jnp.zeros((n, 3), dtype) if computables.force else None,
         energy=jnp.zeros((n,), dtype) if computables.energy else None,
         virial=jnp.zeros((n,), dtype) if computables.virial else None,
+        stress=jnp.zeros((n, 6), dtype) if computables.stress else None,
     )

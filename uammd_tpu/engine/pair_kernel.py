@@ -84,11 +84,16 @@ def make_pair_force_kernel(
     e_fn: Callable | None = None,  # e(r2) pair energy (half to each particle)
     *,
     compute_virial: bool = False,
+    compute_stress: bool = False,
     interpret: bool | None = None,
     periodic_z: bool = True,
     clamp_lo: float = 4e-3,
 ):
-    """Build force(x, y, z) -> (fx, fy, fz[, energy][, virial]).
+    """Build force(x, y, z) -> (fx, fy, fz[, energy][, virial][, stress x 6]).
+
+    ``compute_stress`` appends the 6 packed components of the symmetric
+    per-particle stress tensor (xx, xy, xz, yy, yz, zz; -0.5 g dr_a dr_b,
+    trace = virial — reference: src/Interactor/Interactor.cuh:98).
 
     Arrays are [nz, nyb, CAP, NLANE] float32 (layout.GridState fields).
     ``periodic_z=False`` runs in halo mode for domain decomposition
@@ -105,7 +110,11 @@ def make_pair_force_kernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    n_extra = (1 if e_fn is not None else 0) + (1 if compute_virial else 0)
+    n_extra = (
+        (1 if e_fn is not None else 0)
+        + (1 if compute_virial else 0)
+        + (6 if compute_stress else 0)
+    )
 
     # source blocks: (dz, dyb) for dz, dyb in 3x3; each for x, y, z coords
     offsets = [(dz, dyb) for dz in (-1, 0, 1) for dyb in (-1, 0, 1)]
@@ -147,6 +156,10 @@ def make_pair_force_kernel(
         fz = jnp.zeros((cap, nlane), jnp.float32)
         en = jnp.zeros((cap, nlane), jnp.float32) if e_fn is not None else None
         vir = jnp.zeros((cap, nlane), jnp.float32) if compute_virial else None
+        st = (
+            [jnp.zeros((cap, nlane), jnp.float32) for _ in range(6)]
+            if compute_stress else None
+        )
 
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -176,7 +189,7 @@ def make_pair_force_kernel(
                     dyv = cy[None, :, :] - yi_
                     dzv = cz[None, :, :] - zi_
                     r2 = dxv * dxv + dyv * dyv + dzv * dzv
-                    if e_fn is None and not compute_virial:
+                    if e_fn is None and not compute_virial and not compute_stress:
                         # Force-only fast mask: clamp instead of select.
                         # Self/degenerate slots (r2 = 0, dxv = 0) produce a
                         # finite g times an exactly-zero displacement; empty
@@ -202,6 +215,14 @@ def make_pair_force_kernel(
                         )
                     if compute_virial:
                         vir = vir + jnp.sum(-0.5 * g * r2s * inside, axis=1)
+                    if compute_stress:
+                        hg = -0.5 * g
+                        comps = (
+                            (dxv, dxv), (dxv, dyv), (dxv, dzv),
+                            (dyv, dyv), (dyv, dzv), (dzv, dzv),
+                        )
+                        for ci, (da, db) in enumerate(comps):
+                            st[ci] = st[ci] + jnp.sum(hg * da * db, axis=1)
 
         outs[0][0, 0, :, :] = fx
         outs[1][0, 0, :, :] = fy
@@ -212,6 +233,11 @@ def make_pair_force_kernel(
             k += 1
         if compute_virial:
             outs[k][0, 0, :, :] = vir
+            k += 1
+        if compute_stress:
+            for ci in range(6):
+                outs[k][0, 0, :, :] = st[ci]
+                k += 1
 
     def block_spec(dz, dyb):
         return pl.BlockSpec(

@@ -30,12 +30,28 @@ def make_pair_kernel(potential, computables: Computables):
         inside = (r2 < rc2) & (r2 > 0)
         r2safe = jnp.where(inside, r2, jnp.ones((), r2.dtype))
         out = {}
-        if computables.force or computables.virial:
+        if computables.force or computables.virial or computables.stress:
             g = jnp.where(inside, potential.force_div_r(r2safe, ti, tj), 0)
             if computables.force:
                 out["force"] = g[..., None] * dr
             if computables.virial:
                 out["virial"] = -0.5 * g * r2
+            if computables.stress:
+                # per-particle symmetric stress tensor, packed
+                # (xx, xy, xz, yy, yz, zz); trace = virial
+                # (reference: Interactor.cuh:98)
+                hg = -0.5 * g
+                out["stress"] = jnp.stack(
+                    [
+                        hg * dr[..., 0] * dr[..., 0],
+                        hg * dr[..., 0] * dr[..., 1],
+                        hg * dr[..., 0] * dr[..., 2],
+                        hg * dr[..., 1] * dr[..., 1],
+                        hg * dr[..., 1] * dr[..., 2],
+                        hg * dr[..., 2] * dr[..., 2],
+                    ],
+                    axis=-1,
+                )
         if computables.energy:
             out["energy"] = 0.5 * jnp.where(
                 inside, potential.energy(r2safe, ti, tj), 0
@@ -69,4 +85,5 @@ def pair_forces(
         force=out.get("force"),
         energy=out.get("energy"),
         virial=out.get("virial"),
+        stress=out.get("stress"),
     )
