@@ -213,10 +213,17 @@ class GridState:
     ref_z: jax.Array
     key: jax.Array
     overflow: jax.Array  # bool, latching
+    step: jax.Array  # int32 monotone step counter (fused-kernel PRNG seed)
     spos: jax.Array  # [S, 3] straggler positions (EMPTY_POS on empty rows)
     svel: jax.Array  # [S, 3]
     sforce: jax.Array  # [S, 3]
     spid: jax.Array  # [S] int32, -1 = empty
+    # Unfolded Newton reaction groups (12 grid arrays, engine/kernel2.py
+    # REACTION_GROUPS x 3 components) when the fused update performs the
+    # fold in-kernel (engine/md2.py fold_in_update); () otherwise. The
+    # physical force is fx + sum of shifted groups — use
+    # GridMD2.folded_forces for observables.
+    fgrp: tuple = ()
 
     @property
     def mask(self) -> jax.Array:
@@ -360,7 +367,7 @@ def pack(
         spec=spec, n=n,
         x=gx, y=gy, z=gz, vx=gvx, vy=gvy, vz=gvz, fx=gfx, fy=gfy, fz=gfz,
         pid=gpid, ref_x=gx, ref_y=gy, ref_z=gz,
-        key=key, overflow=ovf,
+        key=key, overflow=ovf, step=jnp.int32(0),
         spos=jnp.stack(strag[0:3], axis=-1),
         svel=jnp.stack(strag[3:6], axis=-1),
         sforce=jnp.stack(strag[6:9], axis=-1),

@@ -34,7 +34,11 @@ from .kernel2 import (
 from .layout import GridState, GridSpec, choose_spec, pack
 from .md import lj_g
 from .rebin_kernel import rebin_fast2, rebin_fast3, rebin_fast_noforce
-from .update_kernel import gj_update_jnp, make_gj_update_kernel
+from .update_kernel import (
+    gj_update_jnp,
+    make_gj_fold_update_kernel,
+    make_gj_update_kernel,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,20 +52,31 @@ class GridMD2:
     friction: float
     mass: float
     use_fused_update: bool
+    fold_in_update: bool = False
+    noise: str = "bm"
 
     @staticmethod
     def create(spec: GridSpec, g_fn, *, dt, temperature, friction=1.0,
-               mass=1.0, interpret: bool | None = None, g_fn_kernel=None):
+               mass=1.0, interpret: bool | None = None, g_fn_kernel=None,
+               fold_in_update: bool | None = None, noise: str = "bm"):
         """``g_fn_kernel`` optionally overrides the radial function used
         INSIDE the Pallas kernel (e.g. md.lj_g_fast with the hardware
         approximate reciprocal); ``g_fn`` stays the jnp-evaluable version
-        used for the straggler pair pass."""
+        used for the straggler pair pass. ``fold_in_update`` merges the
+        Newton reaction fold into the fused G-J update kernel (default on
+        when the fused update is available); ``noise`` = "bm" | "clt"
+        selects the in-kernel Gaussian generator (update_kernel)."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        fused = not interpret
+        if fold_in_update is None:
+            fold_in_update = fused
         md = GridMD2(
             spec=spec, g_fn=g_fn, dt=dt, temperature=temperature,
             friction=friction, mass=mass,
-            use_fused_update=not interpret,
+            use_fused_update=fused,
+            fold_in_update=bool(fold_in_update and fused),
+            noise=noise,
         )
         object.__setattr__(
             md, "_pair",
@@ -75,7 +90,14 @@ class GridMD2:
             make_fold_kernel(spec, interpret=interpret) if not interpret
             else None,
         )
-        if md.use_fused_update:
+        if md.fold_in_update:
+            object.__setattr__(
+                md, "_update",
+                make_gj_fold_update_kernel(
+                    spec, dt, temperature, friction, mass, noise=noise
+                ),
+            )
+        elif md.use_fused_update:
             object.__setattr__(
                 md, "_update",
                 make_gj_update_kernel(spec, dt, temperature, friction, mass),
@@ -95,11 +117,17 @@ class GridMD2:
                 outs = self._pair(gs.x, gs.y, gs.z)
         home = outs[0:3]
         groups = [outs[3 + 3 * i: 6 + 3 * i] for i in range(4)]
-        if self._fold is not None:
+        if self.fold_in_update:
+            # store home + raw groups; the fused update folds in-kernel
+            fx, fy, fz = home
+            rep = dict(fx=fx, fy=fy, fz=fz,
+                       fgrp=tuple(g[c] for g in groups for c in range(3)))
+        elif self._fold is not None:
             fx, fy, fz = self._fold(home, groups)
+            rep = dict(fx=fx, fy=fy, fz=fz)
         else:
             fx, fy, fz = fold_reactions_jnp(home, groups)
-        rep = dict(fx=fx, fy=fy, fz=fz)
+            rep = dict(fx=fx, fy=fy, fz=fz)
         if S:
             sf = jnp.stack(
                 [jnp.sum(outs[15 + c], axis=(0, 1, 3)) for c in range(3)],
@@ -115,6 +143,10 @@ class GridMD2:
     def init(self, pos, seed=0, vel=None) -> GridState:
         gs = pack(self.spec, pos, vel=vel,
                   key=jax.random.key(seed, impl="rbg"))
+        # per-run base for the monotone fused-kernel seed (see step())
+        gs = gs.replace(
+            step=jnp.int32((seed * 2654435761 + 12345) % (1 << 31))
+        )
         if vel is None and self.temperature > 0:
             k1, k2 = jax.random.split(gs.key)
             sd = float(np.sqrt(self.temperature / self.mass))
@@ -134,11 +166,22 @@ class GridMD2:
         gs = self.compute_forces(gs)
         # enter the deferred-half-kick convention: w = v - (dt/2m) f
         hv = np.float32(0.5 * self.dt / self.mass)
+        ffx, ffy, ffz = self.folded_forces(gs)
         return gs.replace(
-            vx=gs.vx - hv * gs.fx, vy=gs.vy - hv * gs.fy,
-            vz=gs.vz - hv * gs.fz,
+            vx=gs.vx - hv * ffx, vy=gs.vy - hv * ffy,
+            vz=gs.vz - hv * ffz,
             svel=gs.svel - hv * gs.sforce,
         )
+
+    def folded_forces(self, gs: GridState):
+        """Physical (folded) grid forces — identity unless fold_in_update
+        deferred the reaction fold to the update kernel."""
+        if not self.fold_in_update or not gs.fgrp:
+            return gs.fx, gs.fy, gs.fz
+        groups = [gs.fgrp[3 * i: 3 * i + 3] for i in range(4)]
+        if self._fold is not None:
+            return self._fold((gs.fx, gs.fy, gs.fz), groups)
+        return fold_reactions_jnp((gs.fx, gs.fy, gs.fz), groups)
 
     # ------------------------------------------------------------- step
     def _strag_update(self, gs: GridState, key):
@@ -169,11 +212,21 @@ class GridMD2:
     def step(self, gs: GridState) -> GridState:
         spec = self.spec
         key, k_seed, k_strag = jax.random.split(gs.key, 3)
-        if self.use_fused_update:
-            seed = jax.random.bits(k_seed, dtype=jnp.uint32).astype(jnp.int32)
+        if self.fold_in_update:
+            # Monotone per-step seed: gs.step carries a per-run random base
+            # (set in init) plus the step index, so (seed, program_id)
+            # tuples are unique across a run — an independent random draw
+            # per step would birthday-collide after ~2^16 steps and reuse
+            # whole-step noise fields.
             (x, y, z, wx, wy, wz), drift2 = self._update(
                 gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
-                gs.fx, gs.fy, gs.fz, gs.ref_x, gs.ref_y, gs.ref_z, seed,
+                gs.fx, gs.fy, gs.fz, gs.fgrp,
+                gs.ref_x, gs.ref_y, gs.ref_z, gs.step,
+            )
+        elif self.use_fused_update:
+            (x, y, z, wx, wy, wz), drift2 = self._update(
+                gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+                gs.fx, gs.fy, gs.fz, gs.ref_x, gs.ref_y, gs.ref_z, gs.step,
             )
         else:
             (x, y, z, wx, wy, wz), drift2 = gj_update_jnp(
@@ -181,7 +234,8 @@ class GridMD2:
                 gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
                 gs.fx, gs.fy, gs.fz, gs.ref_x, gs.ref_y, gs.ref_z, k_seed,
             )
-        gs = gs.replace(x=x, y=y, z=z, vx=wx, vy=wy, vz=wz, key=key)
+        gs = gs.replace(x=x, y=y, z=z, vx=wx, vy=wy, vz=wz, key=key,
+                        step=gs.step + 1)
         if spec.n_strag:
             gs = self._strag_update(gs, k_strag)
             rebin_fn = rebin_fast3  # separable 3-pass (rebin_fast2 = one-shot)
@@ -212,10 +266,11 @@ class GridMD2:
     # ------------------------------------------------------- observables
     def velocities_of(self, gs: GridState):
         hv = np.float32(0.5 * self.dt / self.mass)
+        ffx, ffy, ffz = self.folded_forces(gs)
         return (
-            (gs.vx + hv * gs.fx) * gs.mask,
-            (gs.vy + hv * gs.fy) * gs.mask,
-            (gs.vz + hv * gs.fz) * gs.mask,
+            (gs.vx + hv * ffx) * gs.mask,
+            (gs.vy + hv * ffy) * gs.mask,
+            (gs.vz + hv * ffz) * gs.mask,
             (gs.svel + hv * gs.sforce) * (gs.spid >= 0)[:, None],
         )
 
@@ -244,6 +299,8 @@ def make_lj_md2(
     interpret: bool | None = None,
     pos=None,
     fast_recip: bool = False,
+    fold_in_update: bool | None = None,
+    noise: str = "bm",
 ) -> GridMD2:
     """v2 engine on the reference benchmark system
     (examples/misc/benchmark.cu:172-181). ``fast_recip`` swaps the in-kernel
@@ -259,4 +316,5 @@ def make_lj_md2(
     return GridMD2.create(
         spec, lj_g(epsilon, sigma), dt=dt, temperature=temperature,
         friction=friction, mass=mass, interpret=interpret, g_fn_kernel=gk,
+        fold_in_update=fold_in_update, noise=noise,
     )
