@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from uammd_tpu.core.box import box
+from uammd_tpu.core.types import Computables
 from uammd_tpu.electrostatics.dpslab import DPPoissonSlab
 
 
@@ -117,3 +118,42 @@ def test_metallic_wall_grounds_potential():
     # the particle sitting close to the grounded wall feels a much smaller
     # potential than the bulk one
     assert abs(float(phi[1])) < abs(float(phi[0]))
+
+
+def test_slab_split_matches_no_split():
+    """Ewald-split DP slab vs the fine-grid no-split solver (reference
+    near field: DoublyPeriodic/PoissonSlab/NearField.cuh). Small gw: the
+    no-split solver needs points_per_gw-resolved grids; the split runs a
+    ~3x coarser far grid + the near correction and must agree."""
+    import numpy as onp
+
+    from uammd_tpu.electrostatics.dpslab import DPPoissonSlab, DPPoissonSlabSplit
+
+    L, H, gw = 12.0, 8.0, 0.25
+    b = box([L, L, H], periodic=(True, True, False))
+    rng = onp.random.default_rng(9)
+    n = 6
+    pos = onp.stack([
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * (H * 0.5),  # keep off the walls
+    ], axis=-1)
+    q = rng.normal(size=n)
+    q -= q.mean()
+    pos = jnp.asarray(pos)
+    q = jnp.asarray(q)
+
+    ref = DPPoissonSlab.create(b, gw=gw, points_per_gw=1.5).sum(
+        pos, q, Computables(force=True, energy=True)
+    )
+    sp = DPPoissonSlabSplit.create(b, n, gw=gw, split=0.7, tolerance=1e-5,
+                                   points_per_gw=1.5)
+    # far grid is much coarser than the no-split grid at the same ppg
+    assert sp.far.shape[0] * 3 <= DPPoissonSlab.create(
+        b, gw=gw, points_per_gw=1.5
+    ).shape[0] * 2 or sp.far.shape[0] < 48
+    out = sp.sum(pos, q, Computables(force=True, energy=True))
+    fscale = float(jnp.abs(ref.force).max())
+    assert float(jnp.abs(out.force - ref.force).max()) / fscale < 5e-3
+    escale = float(jnp.abs(ref.energy).max())
+    assert float(jnp.abs(out.energy - ref.energy).max()) / escale < 5e-3

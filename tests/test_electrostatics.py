@@ -89,3 +89,55 @@ def test_isolated_charge_energy_with_wigner_background():
     fev = p.sum(pos, q, Computables(False, True))
     want = 1.0 / (8.0 * math.pi**1.5 * gw) - 2.83729748 / (8.0 * math.pi * L)
     np.testing.assert_allclose(float(fev.energy.sum()), want, rtol=2e-3)
+
+
+def test_split_mode_matches_k_sum_small_gw():
+    """Ewald split mode (reference SpectralEwaldPoisson.cuh:100): small gw
+    that would need a ~100^3 no-split grid runs with a ~32^3 far grid plus
+    the near-field correction; validated against the exact k-sum."""
+    from uammd_tpu.electrostatics.poisson import PoissonSplit
+
+    L, gw, split = 16.0, 0.25, 0.6
+    b = box(L, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    n = 6
+    pos = (rng.random((n, 3)) - 0.5) * L
+    q = rng.normal(size=n)
+    q -= q.mean()
+    ps = PoissonSplit.create(b, n, gw=gw, split=split, tolerance=1e-5)
+    # the split buys a much coarser far grid than no-split would need
+    assert max(ps.far.shape) <= 40, ps.far.shape
+    assert ps.fit_error < 1e-5, ps.fit_error
+    fev = ps.sum(jnp.asarray(pos), jnp.asarray(q),
+                 Computables(force=True, energy=True))
+    phi_ref, E_ref = direct_k_sum(pos, q, L, gw, kmax=40)
+    f_ref = q[:, None] * E_ref
+    e_ref = 0.5 * q * phi_ref
+    fscale = np.abs(f_ref).max()
+    assert np.abs(np.asarray(fev.force) - f_ref).max() / fscale < 2e-3
+    escale = np.abs(e_ref).max()
+    assert np.abs(np.asarray(fev.energy) - e_ref).max() / escale < 2e-3
+
+
+def test_split_invariance():
+    """Two different splits agree (the reference's own split-mode
+    criterion, SpectralEwaldPoisson.cuh:41-43)."""
+    from uammd_tpu.electrostatics.poisson import PoissonSplit
+
+    L, gw = 16.0, 0.25
+    b = box(L, dtype=jnp.float64)
+    rng = np.random.default_rng(6)
+    n = 8
+    pos = (rng.random((n, 3)) - 0.5) * L
+    q = rng.normal(size=n)
+    q -= q.mean()
+    out = []
+    for split in (0.5, 0.8):
+        ps = PoissonSplit.create(b, n, gw=gw, split=split, tolerance=1e-5)
+        fev = ps.sum(jnp.asarray(pos), jnp.asarray(q),
+                     Computables(force=True, energy=True))
+        out.append((np.asarray(fev.force), np.asarray(fev.energy)))
+    fscale = np.abs(out[0][0]).max()
+    assert np.abs(out[0][0] - out[1][0]).max() / fscale < 2e-3
+    escale = np.abs(out[0][1]).max()
+    assert np.abs(out[0][1] - out[1][1]).max() / escale < 2e-3

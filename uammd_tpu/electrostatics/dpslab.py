@@ -198,3 +198,72 @@ class DPPoissonSlab:
         force = charge[:, None] * E_i if computables.force else None
         energy = 0.5 * charge * phi_i if computables.energy else None
         return ForceEnergyVirial(force=force, energy=energy)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPPoissonSlabSplit:
+    """Ewald-split DP slab Poisson (reference: DoublyPeriodic/PoissonSlab/
+    NearField.cuh:14-92): the far field is the BVP solve of *widened*
+    Gaussian charges (ngw = sqrt(gw^2 + 1/(4 split^2)) — a much coarser
+    xy-grid / Chebyshev rank for small gw), the short-range remainder is
+    the same free-space Gaussian-difference kernel as the TP split
+    (electrostatics.poisson.GaussianNearField), summed over a cell grid
+    whose z axis is padded by the cutoff so the open direction never
+    wraps. Wall-image/dielectric responses ride the far field at width
+    ngw — particles must keep the usual few-ngw safety margin from the
+    boundaries (the reference has the same constraint)."""
+
+    far: DPPoissonSlab
+    gw: float
+    split: float
+    ngw: float
+    epsilon: float
+    near: object  # poisson.GaussianNearField
+
+    @property
+    def rcut(self) -> float:
+        return self.near.rcut
+
+    @property
+    def fit_error(self) -> float:
+        return self.near.fit_error
+
+    @staticmethod
+    def create(box, n, epsilon=1.0, gw=1.0, split=1.0, tolerance=1e-4,
+               points_per_gw=1.5, nz=None, support=10,
+               eps_top=None, eps_bottom=None,
+               sigma_top=0.0, sigma_bottom=0.0,
+               pos=None, n_strag: int = 0, cap=None):
+        from .poisson import GaussianNearField, near_cutoff
+
+        Ls = [float(s) for s in jax.device_get(box.size)]
+        ngw = math.sqrt(gw * gw + 1.0 / (4.0 * split * split))
+        far = DPPoissonSlab.create(
+            box, epsilon=epsilon, gw=ngw, points_per_gw=points_per_gw,
+            nz=nz, support=support, eps_top=eps_top, eps_bottom=eps_bottom,
+            sigma_top=sigma_top, sigma_bottom=sigma_bottom,
+        )
+        rcut = min(near_cutoff(ngw, tolerance), 0.45 * min(Ls[:2]))
+        near = GaussianNearField.create(
+            (Ls[0], Ls[1], Ls[2] + 2.0 * rcut), n,
+            gw=gw, ngw=ngw, epsilon=epsilon, rcut=rcut,
+            pos=pos, n_strag=n_strag, cap=cap,
+        )
+        return DPPoissonSlabSplit(far=far, gw=gw, split=split, ngw=ngw,
+                                  epsilon=epsilon, near=near)
+
+    def sum(self, pos, charge, computables: Computables = Computables()):
+        fev = self.far.sum(pos, charge, computables)
+        nf = self.near.apply(pos, charge)
+        force = None
+        energy = None
+        if computables.force:
+            force = (fev.force if fev.force is not None else 0.0) + (
+                charge[:, None] * nf[:, :3]
+            )
+        if computables.energy:
+            self_e = (0.5 * self.near.self_G) * charge * charge
+            energy = (fev.energy if fev.energy is not None else 0.0) + (
+                0.5 * charge * nf[:, 3] + self_e
+            )
+        return ForceEnergyVirial(force=force, energy=energy)
