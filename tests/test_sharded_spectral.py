@@ -64,3 +64,75 @@ def test_sharded_fcm_kz_padding_path():
     out = np.asarray(gather_shards(mf(pos_sh, f_sh, mask), mask, order, n))
     err = np.abs(out - ref).max() / np.abs(ref).max()
     assert err < 1e-10, err
+
+
+def test_sharded_pse_far_envelope_matches_single_device():
+    """PSE far field = FCM with the sinc^2/Hashimoto envelope; the sharded
+    path must match the single-device one exactly (multi-chip PSE far,
+    reference: src/Integrator/BDHI/PSE/FarField.cuh)."""
+    n, L, eta = 200, 16.0, 1.1
+    b = box(L)
+    shape, support = (48, 48, 48), 6
+    sigma_split = 0.8
+    radius_blob = sigma_split * np.sqrt(np.pi)
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L)
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+
+    fcm = FCM(box=b, viscosity=eta, radius=radius_blob, shape=shape,
+              support=support, box_size=(L, L, L),
+              rpy_sinc_radius=1.0, hasimoto_k2=sigma_split**2)
+    ref = np.asarray(fcm.compute_mf(pos, F))
+
+    mesh = make_mesh(8, axis="x")
+    mf = make_sharded_fcm_mf(
+        mesh, b, viscosity=eta, radius=radius_blob, shape=shape,
+        support=support, axis="x", rpy_sinc_radius=1.0,
+        hasimoto_k2=sigma_split**2,
+    )
+    pos_sh, f_sh, mask, order = shard_particles_x(pos, F, 8, b)
+    out = np.asarray(gather_shards(mf(pos_sh, f_sh, mask), mask, order, n))
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-10, err
+
+    # fused-noise path with amp 0 reduces to the same MF
+    mfn = make_sharded_fcm_mf(
+        mesh, b, viscosity=eta, radius=radius_blob, shape=shape,
+        support=support, axis="x", rpy_sinc_radius=1.0,
+        hasimoto_k2=sigma_split**2, noise=True,
+    )
+    out0 = np.asarray(gather_shards(
+        mfn(pos_sh, f_sh, mask, jax.random.key(0), 0.0), mask, order, n
+    ))
+    err0 = np.abs(out0 - ref).max() / np.abs(ref).max()
+    assert err0 < 1e-10, err0
+
+
+def test_sharded_poisson_matches_single_device():
+    from uammd_tpu.electrostatics.poisson import Poisson
+    from uammd_tpu.parallel.spectral import make_sharded_poisson
+
+    n, L, gw = 96, 20.0, 1.0
+    b = box(L)
+    rng = np.random.default_rng(4)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L)
+    q = rng.normal(size=n)
+    q -= q.mean()
+    q = jnp.asarray(q)
+
+    # mesh-divisible grid; support sized to the slab width (the sharded
+    # path requires support <= nx/D) — exact-match vs the same settings
+    shape, support = (48, 48, 48), 6
+    p = Poisson(box=b, epsilon=1.0, gw=gw, shape=shape,
+                support=support, box_size=(L, L, L))
+    phi_ref, E_ref = (np.asarray(v) for v in p.fields(pos, q))
+
+    mesh = make_mesh(8, axis="x")
+    sp = make_sharded_poisson(mesh, b, epsilon=1.0, gw=gw, shape=shape,
+                              support=support, axis="x")
+    pos_sh, q_sh, mask, order = shard_particles_x(pos, q[:, None], 8, b)
+    phi_sh, E_sh = sp(pos_sh, q_sh[..., 0], mask)
+    phi = np.asarray(gather_shards(phi_sh[..., None], mask, order, n))[:, 0]
+    E = np.asarray(gather_shards(E_sh, mask, order, n))
+    assert np.abs(phi - phi_ref).max() / np.abs(phi_ref).max() < 1e-10
+    assert np.abs(E - E_ref).max() / np.abs(E_ref).max() < 1e-10

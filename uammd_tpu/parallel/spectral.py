@@ -82,9 +82,22 @@ def make_sharded_fcm_mf(
     shape: tuple,
     support: int = 6,
     axis: str = "x",
+    rpy_sinc_radius: float | None = None,
+    hasimoto_k2: float | None = None,
+    noise: bool = False,
 ):
-    """Build mf(pos_sh, force_sh, mask) -> vel_sh: the FCM M F product with
-    the grid x-sharded over the mesh. shape[0] must divide the mesh size."""
+    """Build mf(pos_sh, force_sh, mask[, key, noise_amp]) -> vel_sh: the
+    FCM M F product with the grid x-sharded over the mesh. shape[0] must
+    divide the mesh size.
+
+    ``rpy_sinc_radius`` / ``hasimoto_k2`` enable the PSE far-field envelope
+    (FCM._envelope2 — sinc^2(k a) (1 + sigma^2 k^2)), making this the
+    multi-chip PSE far field (reference: src/Integrator/BDHI/PSE/
+    FarField.cuh; sharding is the TPU build's own obligation, SURVEY 2.6).
+    ``noise=True`` fuses the k-space fluctuation: per-shard white noise
+    rides the same distributed FFT as the spread forces (channel concat),
+    is filtered by sqrt of the mobility kernel, and is added before the
+    inverse transform — the compute_mf_bdw fusion, sharded."""
     D = mesh.devices.size
     nx, ny, nz = shape
     assert nx % D == 0, "shape[0] must divide the mesh"
@@ -106,7 +119,9 @@ def make_sharded_fcm_mf(
     kz_valid = np.zeros(nzr_pad, bool)
     kz_valid[:nzr] = True
 
-    def mf_shard(pos, force, mask):
+    dV = float(np.prod([L / s for L, s in zip(Ls, shape)]))
+
+    def mf_shard(pos, force, mask, key=None, noise_amp=None):
         dtype = pos.dtype
         idxv = jax.lax.axis_index(axis)
         x0 = idxv * nx_loc
@@ -135,14 +150,21 @@ def make_sharded_fcm_mf(
         f = f.at[-Pad:].add(left)
         f = f.at[:Pad].add(right)
 
-        # ---- forward distributed FFT: [nx_loc, ny, nz, 3]
+        if noise:
+            # per-shard white noise rides the same distributed FFT
+            wn = jax.random.normal(
+                jax.random.fold_in(key, idxv), (nx_loc, ny, nz, 3), dtype
+            ) / math.sqrt(dV)
+            f = jnp.concatenate([f, wn], axis=-1)
+
+        # ---- forward distributed FFT: [nx_loc, ny, nz, C]
         fk = jnp.fft.rfft(f, axis=2)
         fk = jnp.fft.fft(fk, axis=1)
         fk = jnp.pad(fk, ((0, 0), (0, 0), (0, nzr_pad - nzr), (0, 0)))
         # kz-split, x-gather
         fk = jax.lax.all_to_all(
             fk, axis, split_axis=2, concat_axis=0, tiled=True
-        )  # [nx, ny, kz_chunk, 3]
+        )  # [nx, ny, kz_chunk, C]
         fk = jnp.fft.fft(fk, axis=0)
 
         # ---- wave-space Stokes projector on the local kz chunk
@@ -158,7 +180,20 @@ def make_sharded_fcm_mf(
         k2s = jnp.where(k2 > 0, k2, 1.0)
         kdotf = kx * fk[..., 0] + ky * fk[..., 1] + kz * fk[..., 2]
         pref = valid & (k2 > 0)
+        env2 = None
+        if rpy_sinc_radius is not None or hasimoto_k2 is not None:
+            env2 = 1.0
+            if rpy_sinc_radius is not None:
+                xk = jnp.sqrt(k2) * rpy_sinc_radius
+                xs = jnp.where(xk > 1e-8, xk, 1.0)
+                sc = jnp.where(xk > 1e-8, jnp.sin(xs) / xs,
+                               1.0 - xk * xk / 6.0)
+                env2 = env2 * (sc * sc)
+            if hasimoto_k2 is not None:
+                env2 = env2 * (1.0 + hasimoto_k2 * k2)
         scale = jnp.where(pref, 1.0 / (viscosity * k2s), 0.0)
+        if env2 is not None:
+            scale = scale * env2
         uk = jnp.stack(
             [
                 scale * (fk[..., 0] - kx * kdotf / k2s),
@@ -167,6 +202,22 @@ def make_sharded_fcm_mf(
             ],
             axis=-1,
         )
+        if noise:
+            nk = fk[..., 3:6]
+            kdotn = kx * nk[..., 0] + ky * nk[..., 1] + kz * nk[..., 2]
+            nscale = jnp.where(
+                pref, noise_amp / jnp.sqrt(viscosity * k2s), 0.0
+            )
+            if env2 is not None:
+                nscale = nscale * jnp.sqrt(env2)
+            uk = uk + jnp.stack(
+                [
+                    nscale * (nk[..., 0] - kx * kdotn / k2s),
+                    nscale * (nk[..., 1] - ky * kdotn / k2s),
+                    nscale * (nk[..., 2] - kz * kdotn / k2s),
+                ],
+                axis=-1,
+            )
 
         # ---- inverse distributed FFT
         uk = jnp.fft.ifft(uk, axis=0)
@@ -192,21 +243,170 @@ def make_sharded_fcm_mf(
         return vel * mask[:, None]
 
     spec_p = P(axis)
-    mf = jax.shard_map(
-        mf_shard,
+    if noise:
+        mf = jax.shard_map(
+            mf_shard,
+            mesh=mesh,
+            in_specs=(spec_p, spec_p, spec_p, P(), P()),
+            out_specs=spec_p,
+            check_vma=False,
+        )
+
+        def apply(pos_sh, force_sh, mask, key, noise_amp):
+            D_, m = pos_sh.shape[:2]
+            out = mf(
+                pos_sh.reshape(D_ * m, 3),
+                force_sh.reshape(D_ * m, 3),
+                mask.reshape(D_ * m),
+                key, jnp.asarray(noise_amp, pos_sh.dtype),
+            )
+            return out.reshape(D_, m, 3)
+    else:
+        mf = jax.shard_map(
+            lambda p, f, m: mf_shard(p, f, m),
+            mesh=mesh,
+            in_specs=(spec_p, spec_p, spec_p),
+            out_specs=spec_p,
+            check_vma=False,
+        )
+
+        def apply(pos_sh, force_sh, mask):
+            D_, m = pos_sh.shape[:2]
+            out = mf(
+                pos_sh.reshape(D_ * m, 3),
+                force_sh.reshape(D_ * m, 3),
+                mask.reshape(D_ * m),
+            )
+            return out.reshape(D_, m, 3)
+
+    return jax.jit(apply)
+
+
+def make_sharded_poisson(
+    mesh: Mesh,
+    box: Box,
+    *,
+    epsilon: float = 1.0,
+    gw: float = 1.0,
+    shape: tuple,
+    support: int = 12,
+    axis: str = "x",
+):
+    """Sharded triply periodic spectral Poisson (the multi-chip path of
+    electrostatics.poisson.Poisson.fields; reference single-GPU pipeline:
+    src/Interactor/SpectralEwaldPoisson.cuh): charge spread on x-slabs with
+    halo reduce, distributed FFT, phi_k = rho_k/(eps k^2), E = -ik phi,
+    mirrored inverse, local interpolation.
+
+    Returns apply(pos_sh, q_sh, mask) -> (phi_sh [D, m], E_sh [D, m, 3]).
+    """
+    D = mesh.devices.size
+    nx, ny, nz = shape
+    assert nx % D == 0, "shape[0] must divide the mesh"
+    nx_loc = nx // D
+    Ls = [float(s) for s in np.asarray(jax.device_get(box.size))]
+    h = Ls[0] / nx
+    kern = GaussianKernel(sigma=gw / h, support=support)
+    Pad = support
+    assert Pad <= nx_loc, "slab thinner than the kernel support"
+    nzr = nz // 2 + 1
+    nzr_pad = ((nzr + D - 1) // D) * D
+    kz_chunk = nzr_pad // D
+
+    kxf = 2.0 * math.pi * np.fft.fftfreq(nx, d=Ls[0] / nx)
+    kyf = 2.0 * math.pi * np.fft.fftfreq(ny, d=Ls[1] / ny)
+    kzf = np.zeros(nzr_pad)
+    kzf[:nzr] = 2.0 * math.pi * np.fft.rfftfreq(nz, d=Ls[2] / nz)
+    kz_valid = np.zeros(nzr_pad, bool)
+    kz_valid[:nzr] = True
+
+    def shard_fn(pos, q, mask):
+        dtype = pos.dtype
+        idxv = jax.lax.axis_index(axis)
+        x0 = idxv * nx_loc
+
+        idx, w, hv = _weights_and_indices(kern, pos, box, shape)
+        inv_dV = 1.0 / jnp.prod(hv)
+        lx = jnp.mod(idx[..., 0] - x0 + Pad, nx)
+        inside = (lx < nx_loc + 2 * Pad) & mask[:, None]
+        lx = jnp.where(inside, lx, 0)
+        contrib = jnp.where(inside, (w * inv_dV) * q[:, None], 0.0)
+        ext = jnp.zeros((nx_loc + 2 * Pad, ny, nz), dtype)
+        ext = ext.at[lx, idx[..., 1], idx[..., 2]].add(contrib)
+
+        left = jax.lax.ppermute(
+            ext[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        right = jax.lax.ppermute(
+            ext[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        rho = ext[Pad:-Pad]
+        rho = rho.at[-Pad:].add(left)
+        rho = rho.at[:Pad].add(right)
+
+        rk = jnp.fft.rfft(rho, axis=2)
+        rk = jnp.fft.fft(rk, axis=1)
+        rk = jnp.pad(rk, ((0, 0), (0, 0), (0, nzr_pad - nzr)))
+        rk = jax.lax.all_to_all(
+            rk, axis, split_axis=2, concat_axis=0, tiled=True
+        )
+        rk = jnp.fft.fft(rk, axis=0)
+
+        kx = jnp.asarray(kxf, dtype)[:, None, None]
+        ky = jnp.asarray(kyf, dtype)[None, :, None]
+        kz = jax.lax.dynamic_slice(
+            jnp.asarray(kzf, dtype), (idxv * kz_chunk,), (kz_chunk,)
+        )[None, None, :]
+        valid = jax.lax.dynamic_slice(
+            jnp.asarray(kz_valid), (idxv * kz_chunk,), (kz_chunk,)
+        )[None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        ok = valid & (k2 > 0)
+        phi_k = jnp.where(ok, rk / (epsilon * k2s), 0.0)
+        fields_k = jnp.stack(
+            [phi_k, -1j * kx * phi_k, -1j * ky * phi_k, -1j * kz * phi_k],
+            axis=-1,
+        )
+
+        fields_k = jnp.fft.ifft(fields_k, axis=0)
+        fields_k = jax.lax.all_to_all(
+            fields_k, axis, split_axis=0, concat_axis=2, tiled=True
+        )
+        fields_k = fields_k[:, :, :nzr]
+        u = jnp.fft.ifft(fields_k, axis=1)
+        u = jnp.fft.irfft(u, n=nz, axis=2)  # [nx_loc, ny, nz, 4]
+
+        lo = jax.lax.ppermute(
+            u[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        hi = jax.lax.ppermute(
+            u[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        ue = jnp.concatenate([hi, u, lo], axis=0)
+        vals = ue[lx, idx[..., 1], idx[..., 2]]  # [m, s^3, 4]
+        out = jnp.sum(
+            jnp.where(inside[:, :, None], w[:, :, None] * vals, 0.0), axis=1
+        )
+        out = out * mask[:, None]
+        return out[:, 0], out[:, 1:4]
+
+    spec_p = P(axis)
+    fn = jax.shard_map(
+        shard_fn,
         mesh=mesh,
         in_specs=(spec_p, spec_p, spec_p),
-        out_specs=spec_p,
+        out_specs=(spec_p, spec_p),
         check_vma=False,
     )
 
-    def apply(pos_sh, force_sh, mask):
+    def apply(pos_sh, q_sh, mask):
         D_, m = pos_sh.shape[:2]
-        out = mf(
+        phi, E = fn(
             pos_sh.reshape(D_ * m, 3),
-            force_sh.reshape(D_ * m, 3),
+            q_sh.reshape(D_ * m),
             mask.reshape(D_ * m),
         )
-        return out.reshape(D_, m, 3)
+        return phi.reshape(D_, m), E.reshape(D_, m, 3)
 
     return jax.jit(apply)
