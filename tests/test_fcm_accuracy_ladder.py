@@ -93,3 +93,44 @@ def test_translational_invariance_1e6():
         ms.append(float(fcm.compute_mf(pos, f)[0, 0]))
     ms = onp.asarray(ms)
     assert (ms.max() - ms.min()) / ms.mean() < 1e-6, ms
+
+
+@pytest.mark.slow
+def test_reference_1e8_rung():
+    """The reference's own headline rung (fcm_test.cu:24,83-100): Gaussian
+    kernel, tolerance-driven settings (upsampling factor 1.377 at tol 1e-8
+    -> h = a/(sqrt(pi)*1.377) ~ a/2.44, support ~ 17-18 cells, L ~ 128 a),
+    asserting the ABSOLUTE displacement error <= 1e-8 against Hashimoto
+    O(a^6) theory with unit force/viscosity (the reference's DoubleNear
+    criterion; the ~0.23 (a/L)^3 series floor sits just below at this L)."""
+    import numpy as onp
+
+    a, eta = 1.0, 1.0
+    L = 128.0 * a
+    # h = 0.4 a -> 320^3 grid (2^6 * 5, FFT-friendly); extent = support*h/2
+    # = 3.6 a = 6.3 sigma  (sigma = a/sqrt(pi)) -> truncation ~ 1e-9
+    ppr, support = 2.5, 18
+    b = box(L, dtype=jnp.float64)
+    fcm = FCM.create(b, viscosity=eta, radius=a, points_per_radius=ppr,
+                     support=support)
+    rng = onp.random.default_rng(12)
+    f = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+    m_theory = want_for(a, eta, L)
+    for _ in range(2):
+        pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (1, 3)), jnp.float64)
+        disp = fcm.compute_mf(pos, f)
+        err = abs(float(disp[0, 0]) - m_theory)
+        assert err < 1.0e-8, err
+        # off-diagonal components must vanish to the same accuracy
+        assert abs(float(disp[0, 1])) < 1.0e-8
+        assert abs(float(disp[0, 2])) < 1.0e-8
+
+
+def want_for(a, eta, L):
+    al = a / L
+    b_ = 0.19457
+    a6 = 16.0 * math.pi**2 / 45.0 + 630.0 * b_ * b_
+    return (1.0 / (6.0 * math.pi * eta * a)) * (
+        1.0 - 2.83729747948062 * al + (4.0 * math.pi / 3.0) * al**3
+        - a6 * al**6
+    )

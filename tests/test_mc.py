@@ -96,3 +96,23 @@ def test_anderson_matches_md_energy():
         es.append(float(pot_energy(st2.pos, nl2)) / n)
     e_mc = float(np.mean(es))
     assert abs(e_mc - e_md) < 0.15 * abs(e_md) + 0.05, (e_mc, e_md)
+
+
+def test_anderson_autotune_reaches_target_acceptance():
+    """Jump-size autotuning drives acceptance toward the target
+    (reference: MonteCarlo/NVT/Anderson.cuh:55-57)."""
+    n, rho, T = 256, 0.35, 2.0
+    L = (n / rho) ** (1 / 3)
+    b = box(L, dtype=jnp.float64)
+    pot = lj(cutoff=2.5, shift=True, dtype=jnp.float64)
+    pos0 = lattice(n, L, "fcc")
+    st = make_state(pos0, seed=7, dtype=jnp.float64)
+    mc = AndersonMC.create(b, pot, T, n, tries_per_cell=4,
+                           jump=0.02)  # far too small: ~100% acceptance
+    st, jump, rate = mc.sweep_autotune(st, n_sweeps=40,
+                                       target_acceptance=0.5)
+    rate = float(rate)
+    jump = float(jump)
+    assert jump > 0.05, jump  # tuned upward from 0.02
+    assert 0.3 < rate < 0.7, rate
+    assert bool(jnp.all(jnp.isfinite(st.pos)))

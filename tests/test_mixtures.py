@@ -58,3 +58,53 @@ def test_continuous_polydispersity():
     want = brute_forces(pos, eps, sig, L, 2.0)
     scale = np.abs(want).max()
     assert np.abs(np.asarray(out) - want).max() / scale < 5e-5
+
+
+def test_hierarchical_two_grid_extreme_polydispersity():
+    """Size ratio 8 mixture (LBVH's regime, reference LBVH.cuh:1-60):
+    the two-grid hierarchy must match the brute-force O(N^2) sum."""
+    rng = np.random.default_rng(11)
+    L = 36.0
+    n_small, n_large = 300, 16
+    n = n_small + n_large
+    sigma = np.concatenate([
+        np.full(n_small, 0.5), np.full(n_large, 4.0)
+    ])
+    epsilon = np.concatenate([
+        np.full(n_small, 1.0), np.full(n_large, 0.6)
+    ])
+    # non-overlapping-ish: place larges on a loose grid, smalls anywhere
+    pos = (rng.random((n, 3)) - 0.5) * L
+    pos = jnp.asarray(pos, jnp.float32)
+
+    from uammd_tpu.engine.mixtures import MixtureLJHierarchical
+
+    m = MixtureLJHierarchical.create(
+        L, n, epsilon, sigma, cut_scale=2.5, interpret=True,
+    )
+    assert m.fine.spec.cutoff < 2.0  # fine grid really is fine
+    out, ovf = m.forces(pos, jnp.asarray(epsilon, jnp.float32),
+                        jnp.asarray(sigma, jnp.float32))
+    assert not bool(ovf)
+
+    # brute force (minimum image, LB mixing, per-pair cutoff, clamped like
+    # the kernel so deep-overlap pairs compare equal)
+    p = np.asarray(pos, np.float64)
+    d = p[None, :, :] - p[:, None, :]
+    d -= L * np.round(d / L)
+    r2 = (d * d).sum(-1)
+    sig_ij = 0.5 * (sigma[:, None] + sigma[None, :])
+    eps_ij = np.sqrt(epsilon[:, None] * epsilon[None, :])
+    rc2 = (2.5 * sig_ij) ** 2
+    np.fill_diagonal(r2, 1e30)
+    inside = r2 < rc2
+    r2c = np.maximum(r2, 4e-3 * sig_ij**2)
+    t = sig_ij**2 / r2c
+    t6 = t**3
+    g = np.where(inside,
+                 -24.0 * eps_ij / np.maximum(r2, 4e-3) * (2 * t6 * t6 - t6),
+                 0.0)
+    f_ref = (g[:, :, None] * d).sum(axis=1)
+    scale = np.abs(f_ref).max()
+    err = np.abs(np.asarray(out, np.float64) - f_ref).max() / scale
+    assert err < 5e-5, err

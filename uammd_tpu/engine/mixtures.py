@@ -103,3 +103,93 @@ class MixtureLJ:
         fx, fy, fz = self._kern(cg.x, cg.y, cg.z, *cg.channels)
         out = unpack_values(cg, (fx, fy, fz))
         return out, cg.overflow
+
+
+def lj_mixture_pair_fn_masked(cut_scale: float = 2.5,
+                              clamp_lo: float = 4e-3):
+    """lj_mixture_pair_fn with a third channel ``small_flag``: pairs where
+    BOTH particles are small are excluded (they belong to the fine grid of
+    the two-grid hierarchy)."""
+    base = lj_mixture_pair_fn(cut_scale, clamp_lo)
+
+    def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
+        si = ch_i[2]
+        sj = ch_j[2]
+        fx, fy, fz = base(r2, dxv, dyv, dzv, ch_i[:2], ch_j[:2])
+        keep = 1.0 - si * sj  # 0 iff both small
+        return keep * fx, keep * fy, keep * fz
+
+    return pair_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtureLJHierarchical:
+    """Two-grid hierarchy for extreme polydispersity — the LBVH's regime
+    (reference: src/Interactor/NeighbourList/LBVH.cuh:1-60: widely varying
+    cutoffs make a single cell size pathological). Particles are split at
+    ``sigma_split``:
+
+    - a FINE grid (cells from the largest small-small cutoff) holds only
+      the small particles and computes small-small pairs;
+    - a COARSE grid (cells from the largest overall pair cutoff) holds
+      everyone and computes large-large and small-large pairs, with
+      small-small pairs masked out in-register.
+
+    Cost: the fine pass never pays the large cutoff; the coarse pass pays
+    its huge cells only once per particle pair class that actually needs
+    them. For a size ratio R this replaces the single-grid (R^3-occupancy
+    CAP)^2 blowup with two well-conditioned passes."""
+
+    fine: MixtureLJ
+    coarse_spec: GridSpec
+    cut_scale: float
+    small_idx: tuple  # static indices of the small subset
+
+    @staticmethod
+    def create(box_size, n, epsilon, sigma, *, sigma_split=None,
+               cut_scale=2.5, skin=1.0, cap_fine=None, cap_coarse=None,
+               interpret=None):
+        sig = np.asarray(sigma, np.float64)
+        if sigma_split is None:
+            sigma_split = float(np.sqrt(sig.min() * sig.max()))
+        small = np.nonzero(sig <= sigma_split)[0]
+        assert 0 < len(small) < n, "split leaves one group empty"
+        fine = MixtureLJ.create(
+            box_size, len(small), epsilon=np.asarray(epsilon)[small],
+            sigma=sig[small], cut_scale=cut_scale, skin=skin, cap=cap_fine,
+            interpret=interpret,
+        )
+        rcut_c = cut_scale * float(sig.max())
+        coarse_spec = choose_spec(box_size, n, rcut_c, skin=skin,
+                                  cap=cap_coarse)
+        m = MixtureLJHierarchical(
+            fine=fine, coarse_spec=coarse_spec, cut_scale=cut_scale,
+            small_idx=tuple(int(i) for i in small),
+        )
+        object.__setattr__(
+            m, "_kern_coarse",
+            make_pair_channel_kernel(
+                coarse_spec, lj_mixture_pair_fn_masked(cut_scale), 3, 3,
+                interpret=interpret,
+            ),
+        )
+        return m
+
+    def forces(self, pos, epsilon, sigma):
+        """[N, 3] forces; returns (forces, overflow)."""
+        eps = jnp.sqrt(jnp.asarray(epsilon, jnp.float32))
+        hs = 0.5 * jnp.asarray(sigma, jnp.float32)
+        idx = jnp.asarray(self.small_idx, jnp.int32)
+        flag = jnp.zeros((pos.shape[0],), jnp.float32).at[idx].set(1.0)
+
+        cg = pack_channels(self.coarse_spec, pos,
+                           jnp.stack([eps, hs, flag], axis=-1))
+        fx, fy, fz = self._kern_coarse(cg.x, cg.y, cg.z, *cg.channels)
+        out = unpack_values(cg, (fx, fy, fz))
+        ovf = cg.overflow
+
+        f_small, ovf_f = self.fine.forces(
+            pos[idx], epsilon[idx], sigma[idx]
+        )
+        out = out.at[idx].add(f_small)
+        return out, ovf | ovf_f

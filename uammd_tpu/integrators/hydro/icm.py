@@ -171,8 +171,30 @@ class ICM:
         return FluidState(v=jnp.fft.irfftn(vk_new, s=self.shape, axes=(0, 1, 2)))
 
 
-def icm_integrator(force_fn, icm: ICM) -> Integrator:
+def thermal_drift_forcing(icm: ICM, pos, key, delta: float | None = None):
+    """kT dS/dq thermal-drift forcing via random finite differences
+    (reference: ICM.cu:1068 thermalDrift, applied at :1213): the grid
+    force field (kT/delta) [S(q + delta w/2) - S(q - delta w/2)] w with
+    w ~ N(0,1)^3 per particle, whose expectation over w is the
+    kT dS/dq . e_a divergence term the Gibbs measure requires. The
+    predictor-corrector handles the dJ/dq side; without this forcing the
+    sampled equilibrium acquires grid-scale bias."""
+    kern = icm.kernel
+    if delta is None:
+        delta = 1e-3 * icm.box_size[0] / icm.shape[0]
+    d = jnp.asarray(delta, pos.dtype)
+    w = jax.random.normal(key, pos.shape, pos.dtype)
+    sp = spread(kern, pos + 0.5 * d * w, w, icm.shape, icm.box)
+    sm = spread(kern, pos - 0.5 * d * w, w, icm.shape, icm.box)
+    return (jnp.asarray(icm.temperature, pos.dtype) / d) * (sp - sm)
+
+
+def icm_integrator(force_fn, icm: ICM, *, thermal_drift: bool = True,
+                   rfd_delta: float | None = None) -> Integrator:
     """Predictor-corrector particle coupling (reference: ICM.cu:1191-1224).
+
+    ``thermal_drift`` adds the kT dS/dq RFD forcing (thermal_drift_forcing;
+    reference ICM.cu:1068) every step when temperature > 0.
 
     aux = (FluidState, user_aux)."""
     kern = icm.kernel
@@ -199,6 +221,11 @@ def icm_integrator(force_fn, icm: ICM) -> Integrator:
         key = None
         if icm.temperature > 0:
             state, key = next_key(state)
+            if thermal_drift:
+                state, k_rfd = next_key(state)
+                f_grid = f_grid + thermal_drift_forcing(
+                    icm, x_mid, k_rfd, delta=rfd_delta
+                )
         fluid_new = icm.fluid_step(fluid, f_grid, key)
         # corrector: full step with midpoint fluid velocity
         v_mid_field = 0.5 * (fluid.v + fluid_new.v)

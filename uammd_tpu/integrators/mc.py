@@ -132,7 +132,32 @@ class AndersonMC:
 
     def sweep(self, state: SimState, n_sweeps: int = 1) -> SimState:
         """Run n_sweeps full checkerboard sweeps (all 8 subgrids, random
-        origin and order each sweep)."""
+        origin and order each sweep) at the fixed ``jump_size``."""
+        pos, key, _, _ = self._sweeps(
+            state.pos, state.key, n_sweeps,
+            jnp.asarray(self.jump_size, state.pos.dtype), autotune=False,
+        )
+        return state.replace(pos=pos, key=key)
+
+    def sweep_autotune(self, state: SimState, n_sweeps: int = 1,
+                       target_acceptance: float = 0.5, jump=None):
+        """Sweeps with per-sweep jump-size autotuning toward a target
+        acceptance ratio (reference: MonteCarlo/NVT/Anderson.cuh:55-57 —
+        the reference nudges the jump every tuning period; here the jump
+        multiplies by (rate/target)^(1/4), clipped to [0.01 rc, cell/2]).
+        Returns (state, tuned_jump, last_acceptance_rate); pass the tuned
+        jump back in to continue without re-tuning from scratch."""
+        if jump is None:
+            jump = self.jump_size
+        pos, key, jump, rate = self._sweeps(
+            state.pos, state.key, n_sweeps,
+            jnp.asarray(jump, state.pos.dtype), autotune=True,
+            target=target_acceptance,
+        )
+        return state.replace(pos=pos, key=key), jump, rate
+
+    def _sweeps(self, pos0, key0, n_sweeps, jump0, *, autotune,
+                target=0.5):
         from ..core.grid import Grid
         from ..neighbors.cell_list import build_cell_list, neighbor_cell_indices
 
@@ -142,9 +167,16 @@ class AndersonMC:
         nx, ny, nz = self.grid_shape
         cap = self.cap
         grid = Grid(box=box, shape=self.grid_shape)
+        if autotune:
+            cell_min = float(
+                min(L / s for L, s in
+                    zip(jax.device_get(box.size), self.grid_shape))
+            )
+            jump_lo = 0.01 * float(pot.max_cutoff)
+            jump_hi = 0.5 * cell_min
 
         def one_sweep(carry, _):
-            pos, key = carry
+            pos, key, jump, _ = carry
             key, k_orig, k_order = jax.random.split(key, 3)
             # random origin shift (Anderson.cuh:17-25): move the LATTICE by
             # shifting all particles, bin, sweep, shift back
@@ -168,12 +200,12 @@ class AndersonMC:
             order = jax.random.permutation(k_order, 8)
 
             def do_subgrid(carry, oi):
-                pos_pad, key = carry
+                pos_pad, key, acc, att = carry
                 sub = order[oi]
                 active = parity == sub  # [ncell]
 
                 def do_try(carry, ti):
-                    pos_pad, key = carry
+                    pos_pad, key, acc, att = carry
                     key, k1, k2, k3 = jax.random.split(key, 4)
                     # one random occupant per cell
                     occ_idx = jax.random.randint(
@@ -183,7 +215,7 @@ class AndersonMC:
                     valid = (pidx < n) & active
                     pi = jnp.minimum(pidx, n)
                     old = pos_pad[pi]
-                    move = self.jump_size * jax.random.normal(
+                    move = jump * jax.random.normal(
                         k2, (grid.n_cells, 3), pos_pad.dtype
                     )
                     new = old + move
@@ -222,20 +254,31 @@ class AndersonMC:
                     pos_pad = pos_pad.at[pi].set(
                         jnp.where((pi < n)[:, None], upd, pos_pad[pi])
                     )
-                    return (pos_pad, key), None
+                    acc = acc + jnp.sum(accept, dtype=jnp.int32)
+                    att = att + jnp.sum(valid, dtype=jnp.int32)
+                    return (pos_pad, key, acc, att), None
 
-                (pos_pad, key), _ = jax.lax.scan(
-                    do_try, (pos_pad, key), jnp.arange(self.tries_per_cell)
+                (pos_pad, key, acc, att), _ = jax.lax.scan(
+                    do_try, (pos_pad, key, acc, att),
+                    jnp.arange(self.tries_per_cell)
                 )
-                return (pos_pad, key), None
+                return (pos_pad, key, acc, att), None
 
-            (pos_pad, key), _ = jax.lax.scan(
-                do_subgrid, (pos_pad, key), jnp.arange(8)
+            zero = jnp.zeros((), jnp.int32)
+            (pos_pad, key, acc, att), _ = jax.lax.scan(
+                do_subgrid, (pos_pad, key, zero, zero), jnp.arange(8)
             )
             new_pos = box.wrap_position(pos_pad[:n] - shift)
-            return (new_pos, key), None
+            rate = acc.astype(pos.dtype) / jnp.maximum(att, 1).astype(pos.dtype)
+            if autotune:
+                jump = jnp.clip(
+                    jump * (jnp.maximum(rate, 1e-3) / target) ** 0.25,
+                    jump_lo, jump_hi,
+                )
+            return (new_pos, key, jump, rate), None
 
-        (pos, key), _ = jax.lax.scan(
-            one_sweep, (state.pos, state.key), None, length=n_sweeps
+        rate0 = jnp.zeros((), pos0.dtype)
+        (pos, key, jump, rate), _ = jax.lax.scan(
+            one_sweep, (pos0, key0, jump0, rate0), None, length=n_sweeps
         )
-        return state.replace(pos=pos, key=key)
+        return pos, key, jump, rate
