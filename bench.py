@@ -77,8 +77,12 @@ def bench_lj(n, steps, warmup_steps, temperature, chunk):
         # fast_recip: hardware approximate reciprocal in the LJ kernel —
         # the same accuracy class as the reference's single-precision
         # fast-math CUDA builds (thermostat verified: T within 0.5%)
+        # noise="clt": variance-exact uniform-sum pseudo-normals, ~3x
+        # cheaper than Box-Muller on the VPU; the thermostat check below
+        # validates the temperature either way (see update_kernel._clt_normals)
         md2 = make_lj_md2(L, n, dt=0.01, temperature=temperature, pos=mp,
                           n_strag=16,
+                          noise=os.environ.get("BENCH_NOISE", "clt"),
                           fast_recip=not os.environ.get("BENCH_EXACT_RECIP"))
         gs2, psteps = timed(md2, md2.init(mp, seed=1))
         if not bool(jax.device_get(gs2.overflow)):

@@ -61,6 +61,8 @@ def make_newton_pair_kernel(
     *,
     interpret: bool | None = None,
     clamp_lo: float = 4e-3,
+    self_half: bool = False,
+    _timing_no_reaction: bool = False,
 ):
     """Build force(x, y, z[, strag]) ->
     (home_f[3], groups[4][3], strag_partial[3 if S else 0]).
@@ -118,9 +120,14 @@ def make_newton_pair_kernel(
             for g in REACTION_GROUPS
         }
 
-        def pair_g(r2):
-            r2s = jnp.maximum(r2, clamp_lo)
-            return jnp.where(r2 < rc2, g_fn(r2s), 0.0)
+        if getattr(g_fn, "fused", False):
+            # g_fn applies the cutoff + degenerate-slot selects itself
+            # (md.lj_g_fused) — two fewer VPU ops per candidate slot
+            pair_g = g_fn
+        else:
+            def pair_g(r2):
+                r2s = jnp.maximum(r2, clamp_lo)
+                return jnp.where(r2 < rc2, g_fn(r2s), 0.0)
 
         # ---- self block: full all-pairs, both directions in one go
         dxv = xi[None, :, :] - xi_
@@ -213,7 +220,10 @@ def make_newton_pair_kernel(
             dzv = dzv - Lz * jnp.round(dzv * iLz)
             r2 = dxv * dxv + dyv * dyv + dzv * dzv
             ok = (r2 < rc2) & sval & vhome
-            g = jnp.where(ok, g_fn(jnp.maximum(r2, clamp_lo)), 0.0)
+            if getattr(g_fn, "fused", False):
+                g = g_fn(r2) * ok.astype(jnp.float32)
+            else:
+                g = jnp.where(ok, g_fn(jnp.maximum(r2, clamp_lo)), 0.0)
             tx = g * dxv
             ty = g * dyv
             tz = g * dzv

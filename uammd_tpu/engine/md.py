@@ -251,3 +251,46 @@ def lj_g_fast(epsilon=1.0, sigma=1.0):
         return (np.float32(-24.0) * eps) * t * (2.0 * inv6 * inv6 - inv6)
 
     return g
+
+
+def lj_g_fused(epsilon=1.0, sigma=1.0, *, rc2, clamp_lo=4e-3, approx=True):
+    """Minimum-op LJ radial function with the cutoff/clamp selects fused in.
+
+    Writes (dE/dr)/r as t^4 * (c1*t^3 + c2) with t = 1/r2 (sigma folded
+    into the two static coefficients), which is 2 VPU ops shorter than the
+    inv6-factored form, and replaces the caller-side ``max`` clamp +
+    ``where`` cutoff pair with a single select *on t*: outside the cutoff
+    (or inside the degenerate-slot floor ``clamp_lo``, where only padded /
+    self slots with d == 0 live) t is zeroed, which zeroes t^4 and hence
+    the whole force term. Kernels detect the fused contract through the
+    ``.fused`` attribute and skip their own clamp/cutoff wrapper.
+
+    ``approx`` uses the TPU hardware approximate reciprocal (Pallas only,
+    ~2^-12 relative error — the accuracy class of the reference's
+    fast-math CUDA builds); ``approx=False`` is exact and runs anywhere.
+    """
+    s6 = float(sigma) ** 6
+    c1 = np.float32(-48.0 * epsilon * s6 * s6)
+    c2 = np.float32(24.0 * epsilon * s6)
+    rc2_ = np.float32(rc2)
+    lo_ = np.float32(clamp_lo)
+    zero = np.float32(0.0)
+
+    if approx:
+        from jax.experimental import pallas as pl
+
+        def recip(r2):
+            return pl.reciprocal(r2, approx=True)
+    else:
+        def recip(r2):
+            return np.float32(1.0) / r2
+
+    def g(r2):
+        t = jnp.where((r2 < rc2_) & (r2 > lo_), recip(r2), zero)
+        t2 = t * t
+        t3 = t2 * t
+        t4 = t2 * t2
+        return t4 * (c1 * t3 + c2)
+
+    g.fused = True
+    return g

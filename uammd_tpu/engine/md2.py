@@ -241,8 +241,11 @@ class GridMD2:
             rebin_fn = rebin_fast3  # separable 3-pass (rebin_fast2 = one-shot)
         else:
             rebin_fn = rebin_fast_noforce
-        thr2 = jnp.float32(spec.drift_threshold ** 2)
-        gs = jax.lax.cond(drift2 > thr2, rebin_fn, lambda g: g, gs)
+        # drift2 is the max per-axis (infinity-norm) displacement since the
+        # last rebin (update_kernel) — compared unsquared against the
+        # per-axis half-slack threshold
+        thr = jnp.float32(spec.drift_threshold)
+        gs = jax.lax.cond(drift2 > thr, rebin_fn, lambda g: g, gs)
         return self.compute_forces(gs)
 
     def _scan_fn(self, n_steps: int):
@@ -303,16 +306,17 @@ def make_lj_md2(
     noise: str = "bm",
 ) -> GridMD2:
     """v2 engine on the reference benchmark system
-    (examples/misc/benchmark.cu:172-181). ``fast_recip`` swaps the in-kernel
-    LJ radial function for the hardware approximate reciprocal (see
-    md.lj_g_fast; TPU only)."""
-    from .md import lj_g_fast
+    (examples/misc/benchmark.cu:172-181). ``fast_recip`` uses the hardware
+    approximate reciprocal inside the fused LJ radial function (TPU only;
+    see md.lj_g_fused — the fused select-on-t form is used either way)."""
+    from .md import lj_g_fused
 
     spec = choose_spec(box_size, n, cutoff, skin=skin, cap=cap, pos=pos,
                        n_strag=n_strag)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    gk = lj_g_fast(epsilon, sigma) if (fast_recip and not interpret) else None
+    gk = lj_g_fused(epsilon, sigma, rc2=cutoff * cutoff,
+                    approx=bool(fast_recip and not interpret))
     return GridMD2.create(
         spec, lj_g(epsilon, sigma), dt=dt, temperature=temperature,
         friction=friction, mass=mass, interpret=interpret, g_fn_kernel=gk,

@@ -50,7 +50,9 @@ def _uniform(shape):
 
 def make_gj_update_kernel(spec: GridSpec, dt, temperature, friction, mass):
     """Build update(x, y, z, wx, wy, wz, fx, fy, fz, rx, ry, rz, seed) ->
-    (x', y', z', wx', wy', wz', drift2_tile[nz, nyb, 8, 128]).
+    (x', y', z', wx', wy', wz', drift_tile[nz, nyb, 8, 128]), where the
+    drift metric is the max infinity-norm displacement since the last rebin
+    (compare against GridSpec.drift_threshold unsquared).
 
     seed is a scalar int32 (vary per step). With temperature == 0 the noise
     path compiles out (friction == 0 then gives plain velocity Verlet).
@@ -108,10 +110,15 @@ def make_gj_update_kernel(spec: GridSpec, dt, temperature, friction, mass):
         outs[4][0, 0, :, :] = mask * (a * vy + hv * a * fy + (b / m_) * ny_)
         outs[5][0, 0, :, :] = mask * (a * vz + hv * a * fz + (b / m_) * nz_)
 
-        d2 = mask * (
-            (xo - rx) ** 2 + (yo - ry) ** 2 + (zo - rz) ** 2
+        # Drift metric: per-axis (infinity-norm) displacement since the
+        # last rebin. Stencil correctness only needs every particle within
+        # (cell - cutoff)/2 of its binned position ON EACH AXIS, so the
+        # infinity norm is the exact criterion — the Euclidean norm fired
+        # rebins ~1.2-1.5x too early for isotropic thermal motion.
+        dinf = mask * jnp.maximum(
+            jnp.abs(xo - rx), jnp.maximum(jnp.abs(yo - ry), jnp.abs(zo - rz))
         )
-        outs[6][0, 0, :, :] = jnp.full((8, 128), jnp.max(d2))
+        outs[6][0, 0, :, :] = jnp.full((8, 128), jnp.max(dinf))
 
     spec_full = pl.BlockSpec(
         (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
@@ -204,7 +211,7 @@ def make_gj_fold_update_kernel(
     standalone fold pass (15 reads + 3 writes of HBM) entirely.
 
     update(x, y, z, wx, wy, wz, hfx, hfy, hfz, *groups12, rx, ry, rz, seed)
-      -> ((x', y', z', wx', wy', wz'), drift2_max)
+      -> ((x', y', z', wx', wy', wz'), drift_inf_max)
 
     ``noise`` selects "bm" (exact Box-Muller) or "clt" (variance-exact
     uniform-sum pseudo-normals, ~3x cheaper — see _clt_normals).
@@ -260,8 +267,11 @@ def make_gj_fold_update_kernel(
         outs[3][0, 0, :, :] = mask * (a * vx + hv * a * fx + (b / m_) * nx_)
         outs[4][0, 0, :, :] = mask * (a * vy + hv * a * fy + (b / m_) * ny_)
         outs[5][0, 0, :, :] = mask * (a * vz + hv * a * fz + (b / m_) * nz_)
-        d2 = mask * ((xo - rx) ** 2 + (yo - ry) ** 2 + (zo - rz) ** 2)
-        outs[6][0, 0, :, :] = jnp.full((8, 128), jnp.max(d2))
+        # infinity-norm drift (see make_gj_update_kernel)
+        dinf = mask * jnp.maximum(
+            jnp.abs(xo - rx), jnp.maximum(jnp.abs(yo - ry), jnp.abs(zo - rz))
+        )
+        outs[6][0, 0, :, :] = jnp.full((8, 128), jnp.max(dinf))
 
     spec_full = pl.BlockSpec(
         (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
@@ -341,5 +351,7 @@ def gj_update_jnp(spec: GridSpec, dt, temperature, friction, mass,
     wxo = mask * (a * vx + hv * a * fx + (b / m_) * nx_)
     wyo = mask * (a * vy + hv * a * fy + (b / m_) * ny_)
     wzo = mask * (a * vz + hv * a * fz + (b / m_) * nz_)
-    d2 = jnp.max(mask * ((xo - rx) ** 2 + (yo - ry) ** 2 + (zo - rz) ** 2))
-    return (xo, yo, zo, wxo, wyo, wzo), d2
+    dinf = jnp.max(mask * jnp.maximum(
+        jnp.abs(xo - rx), jnp.maximum(jnp.abs(yo - ry), jnp.abs(zo - rz))
+    ))
+    return (xo, yo, zo, wxo, wyo, wzo), dinf
