@@ -105,35 +105,57 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
     import numpy as np
 
     from uammd_tpu.core.box import box
+    from uammd_tpu.engine.md import lj_g_fused
     from uammd_tpu.integrators.bdhi.pse_engine import PSEGrid
+    from uammd_tpu.utils.lattices import lattice
 
     phi, radius = 0.05, 1.0
     L = (n * (4.0 / 3.0) * math.pi * radius**3 / phi) ** (1.0 / 3.0)
     b = box(L)
-    rng = np.random.default_rng(0)
-    pos = jax.numpy.asarray((rng.random((n, 3)) - 0.5) * L, jax.numpy.float32)
+    # fcc start (nearest-neighbour gap ~4.9 radii at phi=5%): a real
+    # colloid run melts from a non-overlapping configuration; random
+    # insertion would start with deep WCA overlaps
+    pos = jax.numpy.asarray(lattice(n, L, "fcc"), jax.numpy.float32)
 
     be = PSEGrid.create(
         b, n, viscosity=1.0, radius=radius,
         xi=None if far_grid else 0.3,
         far_grid=far_grid,
-        tolerance=1e-4, lanczos_iterations=lanczos_iterations, pos=pos,
+        tolerance=1e-4, lanczos_iterations=lanczos_iterations or 10,
+        pos=pos,
         n_strag=int(os.environ.get("BENCH_PSE_STRAG", 128)),
     )
+    if lanczos_iterations is None:
+        # reference-style adaptive Lanczos tolerance, resolved at setup
+        # (static in-scan count): LanczosAlgorithm.cuh:40-56
+        be = be.tuned_lanczos(
+            pos, tol=float(os.environ.get("BENCH_PSE_LTOL", 1e-3))
+        )
+        print(json.dumps({"pse_lanczos_iterations": be.lanczos_iterations}))
     dt, temperature = 0.01, 1.0
+
+    # real short-range interactor: WCA repulsion between colloid surfaces
+    # (sigma = 2a), evaluated in slot space on the step's own grid pack —
+    # the reference pairs PairForces with BDHI integrators the same way
+    # (examples/advanced/*); the published PSE metric includes this cost.
+    sigma = 2.0 * radius
+    rc = 2.0 ** (1.0 / 6.0) * sigma
+    force_slots = be.make_pair_force_slots(
+        lj_g_fused(1.0, sigma, rc2=rc * rc, approx=True)
+    )
 
     from functools import partial
 
     @partial(jax.jit, static_argnums=2)
     def run(p, key, nsteps):
-        import jax.numpy as jnp
-
         def body(carry, _):
             p, k = carry
             k, sub = jax.random.split(k)
-            f = 0.01 * jnp.sin(p)  # soft stand-in force
-            dx, ovf = be.displacement(p, f, sub, dt, temperature)
-            return (p + dx, k), ovf
+            dx, _f, ovf = be.displacement_with_pair_force(
+                force_slots, p, sub, dt, temperature
+            )
+            p = b.wrap_position(p + dx)
+            return (p, k), ovf
         (p, k), ovf = jax.lax.scan(body, (p, key), None, length=nsteps)
         return p, jax.numpy.any(ovf)
 
@@ -167,7 +189,11 @@ def main():
                 far_grid=(int(os.environ["BENCH_PSE_FAR"])
                           if os.environ.get("BENCH_PSE_FAR", "").strip()
                           else 144),
-                lanczos_iterations=int(os.environ.get("BENCH_PSE_LANCZOS", 10)),
+                lanczos_iterations=(
+                    int(os.environ["BENCH_PSE_LANCZOS"])
+                    if os.environ.get("BENCH_PSE_LANCZOS", "").strip()
+                    else None
+                ),
             )
             print(json.dumps({
                 "metric": "bdhi_pse_particle_steps_per_s",

@@ -146,3 +146,39 @@ def test_bdhi_em_ideal_diffusion():
     msd = float(jnp.mean(jnp.sum((st2.pos - jnp.asarray(pos0)) ** 2, axis=-1)))
     want = 6.0 * T * m0 * steps * dt
     np.testing.assert_allclose(msd, want, rtol=0.25)
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (12, 10, 9)])
+def test_kspace_white_noise_sampler(shape):
+    """_sample_white_rfft must equal rfftn(real white noise) in
+    distribution: (a) exact Hermitian consistency — the rfftn/irfftn
+    roundtrip reproduces the sampled spectrum (broken symmetrization on
+    the self-conjugate planes would not survive this); (b) the implied
+    real field is iid N(0, 1/dV): per-cell variance and nearest-neighbour
+    covariance over many seeded draws."""
+    from uammd_tpu.integrators.bdhi.fcm import _sample_white_rfft
+
+    dV = 0.37
+    wk = _sample_white_rfft(jax.random.key(0), shape, dV)
+    rt = jnp.fft.rfftn(
+        jnp.fft.irfftn(wk, s=shape, axes=(0, 1, 2)), axes=(0, 1, 2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rt), np.asarray(wk), rtol=2e-4,
+        atol=2e-4 * float(jnp.abs(wk).max()),
+    )
+
+    ndraw = 60
+    fields = []
+    for s in range(ndraw):
+        wk = _sample_white_rfft(jax.random.key(100 + s), shape, dV)
+        fields.append(np.asarray(
+            jnp.fft.irfftn(wk, s=shape, axes=(0, 1, 2))
+        ))
+    w = np.stack(fields)  # [ndraw, nx, ny, nz, 3]
+    var = w.var()
+    assert abs(var * dV - 1.0) < 0.05, var * dV
+    assert abs(w.mean()) < 0.02 / math.sqrt(dV)
+    # neighbour covariance ~ 0 (iid cells)
+    cov = (w * np.roll(w, 1, axis=1)).mean()
+    assert abs(cov * dV) < 0.03, cov * dV

@@ -195,3 +195,121 @@ def test_straggler_displacement_consistent():
     )
     d1, _ = fast.displacement(pos, F, jax.random.key(1), 0.01, 1.0)
     assert bool(jnp.all(jnp.isfinite(d1)))
+
+
+def _brute_wca(pos, L, sigma=2.0, eps=1.0, clamp_lo=4e-3):
+    """O(N^2) minimum-image truncated-LJ (WCA) forces, f64 numpy."""
+    p = np.asarray(pos, np.float64)
+    rc2 = (2.0 ** (1.0 / 6.0) * sigma) ** 2
+    d = p[None, :, :] - p[:, None, :]
+    d -= L * np.round(d / L)
+    r2 = (d * d).sum(-1)
+    np.fill_diagonal(r2, np.inf)
+    t = np.where((r2 < rc2) & (r2 > clamp_lo), 1.0 / r2, 0.0)
+    s6 = sigma**6
+    g = t**4 * ((-48.0 * eps * s6 * s6) * t**3 + 24.0 * eps * s6)
+    return (g[:, :, None] * d).sum(axis=1)
+
+
+@pytest.mark.parametrize("n_strag", [0, 256])
+def test_slot_pair_force_matches_brute(n_strag):
+    """make_pair_force_slots evaluates a short-range WCA pair force on the
+    near-field grid pack; unpacked [N]-order forces match the O(N^2)
+    minimum-image reference (the reference pairs PairForces with BDHI
+    integrators the same way, e.g. examples/generic_md advanced configs)."""
+    from uammd_tpu.engine.layout import pack_channels
+    from uammd_tpu.engine.md import lj_g_fused
+
+    rng = np.random.default_rng(21)
+    n, L = 500, 26.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    kw = {}
+    if n_strag:
+        ref = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4,
+                             pos=pos)
+        kw = dict(cap=max(8, ref.spec.cap - 16), n_strag=n_strag)
+    be = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4,
+                        pos=pos, **kw)
+    sigma = 2.0
+    rc = 2.0 ** (1.0 / 6.0) * sigma
+    assert rc <= be.rcut  # grid stencil covers the pair cutoff
+    g_fn = lj_g_fused(1.0, sigma, rc2=rc * rc, approx=False)
+    force_slots = be.make_pair_force_slots(g_fn)
+    cg = pack_channels(be.spec, pos, jnp.zeros((n, 3), jnp.float32))
+    assert not bool(cg.overflow)
+    if n_strag:
+        assert int(jnp.sum(cg.spid >= 0)) > 0, "want stragglers in flight"
+    from uammd_tpu.engine.layout import unpack_values
+    (fx, fy, fz), sf3 = force_slots(cg)
+    f = np.asarray(unpack_values(cg, (fx, fy, fz), svalues=sf3))
+    f_ref = _brute_wca(pos, L)
+    scale = np.abs(f_ref).max() + 1.0
+    np.testing.assert_allclose(f / scale, f_ref / scale, atol=2e-5)
+
+
+def test_displacement_with_pair_force_consistent():
+    """Fused EM step with the in-grid pair force: T=0 displacement equals
+    dt * M F_wca computed through the independent [N]-order path, and the
+    returned forces match the brute-force WCA evaluation."""
+    from uammd_tpu.engine.md import lj_g_fused
+
+    rng = np.random.default_rng(23)
+    n, L = 500, 26.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    ref = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4, pos=pos)
+    be = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-4,
+                        pos=pos, cap=max(8, ref.spec.cap - 16), n_strag=256)
+    sigma = 2.0
+    rc = 2.0 ** (1.0 / 6.0) * sigma
+    g_fn = lj_g_fused(1.0, sigma, rc2=rc * rc, approx=False)
+    force_slots = be.make_pair_force_slots(g_fn)
+    dx, forces, ovf = be.displacement_with_pair_force(
+        force_slots, pos, jax.random.key(0), 0.01, 0.0
+    )
+    assert not bool(ovf)
+    f_ref = _brute_wca(pos, L)
+    scale = np.abs(f_ref).max() + 1.0
+    np.testing.assert_allclose(
+        np.asarray(forces) / scale, f_ref / scale, atol=2e-5
+    )
+    mf = be.compute_mf(pos, jnp.asarray(f_ref, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(dx), 0.01 * np.asarray(mf), rtol=2e-3, atol=1e-6
+    )
+    # noisy step stays finite
+    dx1, _, ovf1 = be.displacement_with_pair_force(
+        force_slots, pos, jax.random.key(1), 0.01, 1.0
+    )
+    assert bool(jnp.all(jnp.isfinite(dx1))) and not bool(ovf1)
+
+
+def test_tuned_lanczos_iteration_count():
+    """tuned_lanczos picks the smallest static iteration count meeting the
+    successive-approximation tolerance (reference: LanczosAlgorithm.cuh:
+    40-56); tighter tolerance never picks fewer iterations, and the tuned
+    count still satisfies the Lanczos sqrt identity to the same order."""
+    from uammd_tpu.engine.layout import pack_channels
+
+    rng = np.random.default_rng(31)
+    n, L = 200, 18.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    be = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-3,
+                        lanczos_iterations=24, pos=pos)
+    loose = be.tuned_lanczos(pos, tol=3e-2)
+    tight = be.tuned_lanczos(pos, tol=1e-4)
+    assert 3 <= loose.lanczos_iterations <= tight.lanczos_iterations <= 16
+    # the tuned (loose) backend's noise is a usable sqrt: identity to ~5%
+    cg = pack_channels(loose.spec, pos, jnp.zeros((n, 3), jnp.float32))
+    key = jax.random.key(3)
+    bx, by, bz, _s3, _res = loose._near_noise_slots(cg, key)
+    lhs = float(jnp.sum(bx * bx + by * by + bz * bz))
+    mask = (cg.pid >= 0).astype(jnp.float32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = [jax.random.normal(k, cg.x.shape, jnp.float32) * mask
+         for k in (k1, k2, k3)]
+    vx, vy, vz = loose.near_matvec_slots(cg, *z)
+    rhs = float(sum(jnp.sum(a * c) for a, c in zip(z, (vx, vy, vz))))
+    np.testing.assert_allclose(lhs, rhs, rtol=7e-2)

@@ -63,6 +63,7 @@ def make_newton_pair_kernel(
     clamp_lo: float = 4e-3,
     self_half: bool = False,
     _timing_no_reaction: bool = False,
+    _timing_mode: str | None = None,
 ):
     """Build force(x, y, z[, strag]) ->
     (home_f[3], groups[4][3], strag_partial[3 if S else 0]).
@@ -129,14 +130,43 @@ def make_newton_pair_kernel(
                 r2s = jnp.maximum(r2, clamp_lo)
                 return jnp.where(r2 < rc2, g_fn(r2s), 0.0)
 
-        # ---- self block: full all-pairs, both directions in one go
-        dxv = xi[None, :, :] - xi_
-        dyv = yi[None, :, :] - yi_
-        dzv = zi[None, :, :] - zi_
-        g = pair_g(dxv * dxv + dyv * dyv + dzv * dzv)
-        fx = fx + jnp.sum(g * dxv, axis=1)
-        fy = fy + jnp.sum(g * dyv, axis=1)
-        fz = fz + jnp.sum(g * dzv, axis=1)
+        if self_half and not interpret:
+            # ---- self block, Newton-halved: circulant pair enumeration.
+            # Candidate sublane j = (i + k) mod cap for k = 1..cap/2 covers
+            # every unordered in-cell pair once (k = cap/2 twice for even
+            # cap, so that rung skips the reaction write-back): cap^2/2
+            # candidate slots instead of cap^2, at the price of 4 sublane
+            # rolls per rung.
+            def _roll_sub(a, k):
+                return pltpu.roll(a, k % cap, axis=0)
+
+            for k in range(1, cap // 2 + 1):
+                cxk = _roll_sub(xi, -k)
+                cyk = _roll_sub(yi, -k)
+                czk = _roll_sub(zi, -k)
+                dxv = cxk - xi
+                dyv = cyk - yi
+                dzv = czk - zi
+                g = pair_g(dxv * dxv + dyv * dyv + dzv * dzv)
+                tx = g * dxv
+                ty = g * dyv
+                tz = g * dzv
+                fx = fx + tx
+                fy = fy + ty
+                fz = fz + tz
+                if 2 * k != cap:
+                    fx = fx - _roll_sub(tx, k)
+                    fy = fy - _roll_sub(ty, k)
+                    fz = fz - _roll_sub(tz, k)
+        else:
+            # ---- self block: full all-pairs, both directions in one go
+            dxv = xi[None, :, :] - xi_
+            dyv = yi[None, :, :] - yi_
+            dzv = zi[None, :, :] - zi_
+            g = pair_g(dxv * dxv + dyv * dyv + dzv * dzv)
+            fx = fx + jnp.sum(g * dxv, axis=1)
+            fy = fy + jnp.sum(g * dyv, axis=1)
+            fz = fz + jnp.sum(g * dzv, axis=1)
 
         # ---- positive offsets: compute once, route the reaction back
         for (dz, dy, dx) in POS_OFFSETS:
@@ -171,6 +201,53 @@ def make_newton_pair_kernel(
             fx = fx + jnp.sum(tx, axis=1)
             fy = fy + jnp.sum(ty, axis=1)
             fz = fz + jnp.sum(tz, axis=1)
+            if _timing_no_reaction or _timing_mode == "noreact":
+                continue  # perf-probe mode: wrong physics, no write-back
+            if _timing_mode == "sumonly":
+                # probe: pay the cube reduction, skip shift/route (wrong
+                # physics): accumulate raw reaction sums into group 0
+                for c, t in ((0, tx), (1, ty), (2, tz)):
+                    grp[REACTION_GROUPS[0]][c] = (
+                        grp[REACTION_GROUPS[0]][c] - jnp.sum(t, axis=0)
+                    )
+                continue
+            if _timing_mode == "routeonly":
+                # probe: skip the cube reduction (reuse the home sums as a
+                # stand-in r), pay the full shift/route machinery
+                stand_in = {0: jnp.sum(tx, axis=1),
+                            1: jnp.sum(ty, axis=1),
+                            2: jnp.sum(tz, axis=1)}
+                for c in range(3):
+                    r = -stand_in[c]
+                    if sgn != 0:
+                        rin = _shift_lanes(
+                            jnp.where(infold, r, 0.0), -s_in, interpret
+                        )
+                        rout = _shift_lanes(
+                            jnp.where(infold, 0.0, r), -s_out, interpret
+                        )
+                        if dz == 0:
+                            if c == 0:
+                                fx = fx + rin
+                            elif c == 1:
+                                fy = fy + rin
+                            else:
+                                fz = fz + rin
+                        else:
+                            grp[(dz, 0)][c] = grp[(dz, 0)][c] + rin
+                        grp[(dz, sgn)][c] = grp[(dz, sgn)][c] + rout
+                    else:
+                        rin = _shift_lanes(r, -s_in, interpret)
+                        if dz == 0:
+                            if c == 0:
+                                fx = fx + rin
+                            elif c == 1:
+                                fy = fy + rin
+                            else:
+                                fz = fz + rin
+                        else:
+                            grp[(dz, 0)][c] = grp[(dz, 0)][c] + rin
+                continue
             # reaction on the candidates, in candidate lane coordinates
             for c, t in ((0, tx), (1, ty), (2, tz)):
                 r = -jnp.sum(t, axis=0)  # [cap_j, nlane], home-lane coords

@@ -135,6 +135,15 @@ def choose_spec(
             cap_est = int(math.ceil(
                 (lam + 4.0 * math.sqrt(lam) + 2.0) / 8.0)) * 8
             cost = nz * (ny // F) * cap_est * cap_est
+            # Lane-alignment penalty (measured on v5e, round 3): with
+            # NLANE = nx*F != 128 every stencil/reaction lane roll lowers
+            # to a misaligned multi-op shuffle instead of a native vreg
+            # rotate; the same kernel runs ~1.85x slower per cap^2-block
+            # unit (probe_lj3: 42x42x42/F3/cap24 = 27.8 ns/unit vs
+            # 32x40x42/F4/cap32 = 15.0 ns/unit). Exact-128 geometries win
+            # even at substantially more padded candidate volume.
+            if nx * F != max_lanes:
+                cost = cost * 1.85
             # prefer more lanes on ties (denser lane usage, fewer blocks)
             key_ = (cost, -(nx * F))
             if best is None or key_ < best[0]:

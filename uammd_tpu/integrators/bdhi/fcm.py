@@ -44,6 +44,43 @@ def _wavevectors(shape, box_size, dtype=jnp.float32):
     return kx, ky, kz
 
 
+def _sample_white_rfft(key, shape, dV, dtype=jnp.float32):
+    """Draw rfftn(w) directly in wave space, equal in distribution to the
+    transform of real white noise w ~ N(0, 1/dV) iid on the grid — the
+    noise forward FFT the fused Brownian pass would otherwise pay
+    (reference: FCM_impl.cuh:437 addBrownianNoisePrefactor fills wave-space
+    noise the same way) is replaced by Hermitian-consistent sampling:
+
+    - interior kz modes are free complex Gaussians with total variance
+      Ngrid/dV (the DFT of iid real noise);
+    - the self-conjugate kz planes (kz = 0 and, for even nz, kz = nz/2)
+      are symmetrized c -> (c(k) + conj(c(-k)))/sqrt(2), which makes them
+      exactly Hermitian under (kx, ky) -> (-kx, -ky) with the correct
+      variance at every point, including the real self-conjugate corners
+      (there the map yields sqrt(2) Re c: variance Ngrid/dV, as required).
+
+    Returns [nx, ny, nz//2+1, 3] complex64/128.
+    """
+    nx, ny, nz = shape
+    nzr = nz // 2 + 1
+    ngrid = nx * ny * nz
+    std = np.asarray(math.sqrt(ngrid / (2.0 * dV)), dtype)
+    re_im = jax.random.normal(key, (2, nx, ny, nzr, 3), dtype) * std
+    wk = jax.lax.complex(re_im[0], re_im[1])
+    half = np.asarray(1.0 / math.sqrt(2.0), dtype)
+
+    def herm2d(c):
+        # c[(−kx) % nx, (−ky) % ny]: reverse both axes, then roll by 1
+        cf = jnp.flip(c, axis=(0, 1))
+        cf = jnp.roll(cf, shift=(1, 1), axis=(0, 1))
+        return (c + jnp.conj(cf)) * half
+
+    planes = [0] + ([nz // 2] if nz % 2 == 0 else [])
+    for zp in planes:
+        wk = wk.at[:, :, zp].set(herm2d(wk[:, :, zp]))
+    return wk
+
+
 @dataclasses.dataclass(frozen=True)
 class FCM:
     """Spectral FCM mobility backend (plugs into bdhi_euler_maruyama).
@@ -232,10 +269,7 @@ class FCM:
         if noise_amp:
             Ls = self.box_size
             dV = float(np.prod(np.asarray(Ls)) / np.prod(self.shape))
-            wn = jax.random.normal(
-                key, tuple(self.shape) + (3,), dtype
-            ) / math.sqrt(dV)
-            wnk = jnp.fft.rfftn(wn, axes=(0, 1, 2))
+            wnk = _sample_white_rfft(key, self.shape, dV, dtype)
             k2 = kx * kx + ky * ky + kz * kz
             k2s = jnp.where(k2 > 0, k2, 1.0)
             kdotw = (kx * wnk[..., 0] + ky * wnk[..., 1] + kz * wnk[..., 2])
@@ -279,11 +313,12 @@ class FCM:
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
         uk = self._project(fk, kx, ky, kz)
-        # sqrt(B) filtered white noise, in the same k-space pass
+        # sqrt(B) filtered white noise, in the same k-space pass; the
+        # noise spectrum is sampled directly in wave space (Hermitian-
+        # consistent), saving the second forward FFT
         Ls = self.box_size
         dV = float(np.prod(np.asarray(Ls)) / np.prod(self.shape))
-        w = jax.random.normal(key, tuple(self.shape) + (3,), dtype) / math.sqrt(dV)
-        wk = jnp.fft.rfftn(w, axes=(0, 1, 2))
+        wk = _sample_white_rfft(key, self.shape, dV, dtype)
         k2 = kx * kx + ky * ky + kz * kz
         k2s = jnp.where(k2 > 0, k2, 1.0)
         kdotw = kx * wk[..., 0] + ky * wk[..., 1] + kz * wk[..., 2]
@@ -308,8 +343,7 @@ class FCM:
         dtype = pos.dtype
         Ls = self.box_size
         dV = float(np.prod(np.asarray(Ls)) / np.prod(self.shape))
-        w = jax.random.normal(key, tuple(self.shape) + (3,), dtype) / math.sqrt(dV)
-        wk = jnp.fft.rfftn(w, axes=(0, 1, 2))
+        wk = _sample_white_rfft(key, self.shape, dV, dtype)
         kx, ky, kz = _wavevectors(self.shape, Ls, dtype)
         k2 = kx * kx + ky * ky + kz * kz
         k2s = jnp.where(k2 > 0, k2, 1.0)

@@ -326,6 +326,153 @@ class PSEGrid:
         s3 = (o[:, T:] if S else None)
         return og[0], og[1], og[2], s3, res
 
+    def tuned_lanczos(self, pos, tol: float = 1e-3, key=None,
+                      m_max: int = 16):
+        """Pick the smallest static Lanczos iteration count whose
+        successive-approximation residual ||B_j z - B_{j-1} z|| / ||B_j z||
+        is below ``tol`` on a probe noise draw at ``pos`` — the reference's
+        adaptive tolerance loop (reference: src/misc/LanczosAlgorithm.cuh:
+        40-56) moved to setup time so the in-scan count stays static
+        (XLA-friendly). One m_max-step device pass records the tridiagonal;
+        the per-j sweep runs on the host. Returns a retuned backend."""
+        from ...solvers.lanczos import (
+            lanczos_iterations_for_tolerance,
+            lanczos_tridiag,
+        )
+
+        key = jax.random.key(1234) if key is None else key
+        cg = pack_channels(self.spec, pos, jnp.zeros_like(pos))
+        shape = cg.x.shape
+        S = self.spec.n_strag
+        T = int(np.prod(shape))
+        mask = (cg.pid >= 0).astype(jnp.float32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        z = jnp.stack([
+            jax.random.normal(k, shape, jnp.float32) * mask
+            for k in (k1, k2, k3)
+        ]).reshape(3, -1)
+        if S:
+            smask = (cg.spid >= 0).astype(jnp.float32)
+            zs = jax.random.normal(
+                jax.random.fold_in(key, 7), (3, S), jnp.float32
+            ) * smask
+            z = jnp.concatenate([z, zs], axis=1)
+
+        def mv(v):
+            g = v.reshape((3, -1))
+            gg = g[:, :T].reshape((3,) + shape)
+            if S:
+                gs = g[:, T:]
+                ox, oy, oz, sv3 = self.near_matvec_slots(
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
+                )
+                flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
+                return jnp.concatenate(
+                    [flat, jnp.stack(sv3)], axis=1
+                ).reshape(-1)
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
+            return jnp.stack([ox, oy, oz]).reshape(-1)
+
+        alphas, betas = jax.jit(
+            lambda v: lanczos_tridiag(mv, v, m_max)[1:]
+        )(z.reshape(-1))
+        m = lanczos_iterations_for_tolerance(
+            jax.device_get(alphas), jax.device_get(betas), tol
+        )
+        return dataclasses.replace(self, lanczos_iterations=int(m))
+
+    # -------------------------------------------- slot-space pair forces
+    def make_pair_force_slots(self, g_fn, interpret: bool | None = None):
+        """Short-range pair forces evaluated on the SAME near-field grid
+        pack the hydrodynamic step already pays for (no second binning
+        pass): returns force_slots(cg) -> ((fx, fy, fz), sf3) in slot
+        order. ``g_fn`` is an engine radial (dE/dr)/r, e.g. md.lj_g_fused —
+        its cutoff must be <= the near-field rcut (the grid stencil only
+        guarantees coverage to one cell). A real BDHI-PSE simulation pays
+        this pair pass every step (reference pairs PairForces with the PSE
+        integrator, e.g. examples/uammd_as_a_library/bdhi.cu), so the
+        benchmarked EM step includes it via displacement_with_pair_force.
+        """
+        from ...engine.kernel2 import (
+            broadcast_stragglers,
+            fold_reactions_jnp,
+            make_fold_kernel,
+            make_newton_pair_kernel,
+            straggler_pair_forces,
+        )
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kern = make_newton_pair_kernel(self.spec, g_fn, interpret=interpret)
+        fold = (make_fold_kernel(self.spec, interpret=interpret)
+                if not interpret else None)
+        S = self.spec.n_strag
+        spec = self.spec
+
+        def force_slots(cg: ChannelGrid):
+            if S:
+                strag = broadcast_stragglers(spec, cg.spos, cg.spid)
+                outs = kern(cg.x, cg.y, cg.z, strag)
+            else:
+                outs = kern(cg.x, cg.y, cg.z)
+            home = outs[0:3]
+            groups = [outs[3 + 3 * i: 6 + 3 * i] for i in range(4)]
+            if fold is not None:
+                fx, fy, fz = fold(home, groups)
+            else:
+                fx, fy, fz = fold_reactions_jnp(home, groups)
+            sf3 = None
+            if S:
+                sf = jnp.stack(
+                    [jnp.sum(outs[15 + c], axis=(0, 1, 3)) for c in range(3)],
+                    axis=-1,
+                )
+                sf = sf + straggler_pair_forces(
+                    spec, g_fn, cg.spos, cg.spid
+                )
+                sf = sf * (cg.spid >= 0)[:, None]
+                sf3 = (sf[:, 0], sf[:, 1], sf[:, 2])
+            return (fx, fy, fz), sf3
+
+        return force_slots
+
+    def displacement_with_pair_force(self, force_slots_fn, pos, key, dt,
+                                     temperature):
+        """Fused EM displacement with the short-range pair force evaluated
+        in slot space on the step's own grid pack: one binning pass feeds
+        both the pair force and the near-field matvec; the far spread takes
+        the unpacked [N]-order forces. Returns (dx, forces, overflow)."""
+        amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
+        S = self.spec.n_strag
+        zero_f = jnp.zeros_like(pos)
+        with jax.named_scope("uammd.pse.pack"):
+            cg = pack_channels(self.spec, pos, zero_f)
+        with jax.named_scope("uammd.pse.pair_force"):
+            (fx, fy, fz), sf3 = force_slots_fn(cg)
+        with jax.named_scope("uammd.pse.near_mf"):
+            if S:
+                vx, vy, vz, sv3 = self.near_matvec_slots(
+                    cg, fx, fy, fz, sf3=sf3
+                )
+                sv3 = list(sv3)
+            else:
+                vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
+        forces = unpack_values(cg, (fx, fy, fz), svalues=sf3).astype(pos.dtype)
+        if temperature > 0:
+            k1, k2 = jax.random.split(key)
+            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
+            a = np.float32(amp)
+            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
+            if S:
+                sv3 = [s + a * b for s, b in zip(sv3, b3)]
+            far_v = self.far.compute_mf_bdw(pos, forces, k1, amp)
+        else:
+            far_v = self.far.compute_mf(pos, forces)
+        near = unpack_values(
+            cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)
+        ).astype(pos.dtype)
+        return dt * (near + far_v), forces, cg.overflow
+
     # ------------------------------------------------- [N]-order interface
     def near_matvec(self, pos, forces):
         cg = pack_channels(self.spec, pos, forces)

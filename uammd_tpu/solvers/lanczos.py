@@ -69,3 +69,66 @@ def lanczos_sqrt_apply(mv, v: jax.Array, m: int = 32):
 
 def make_sqrt_m_dot(mv, m: int = 32):
     return partial(lanczos_sqrt_apply, mv, m=m)
+
+
+def lanczos_tridiag(mv, v: jax.Array, m: int):
+    """One m-step Lanczos pass returning (vnorm, alphas[m], betas[m+1]).
+
+    With the full reorthogonalization above, V is orthonormal, so the
+    host can reconstruct the *norm* of the sqrt(M)v approximation at every
+    intermediate iteration j <= m from the tridiagonal alone:
+    ``|| B_j v - B_{j-1} v || = vnorm * || pad(sqrt(T_j) e1) - pad(sqrt(T_{j-1}) e1) ||``
+    — the reference's a-posteriori convergence measure
+    (reference: src/misc/LanczosAlgorithm.cuh:40-56) without re-running
+    the expensive matvec sweep per candidate j.
+    """
+    k = v.shape[0]
+    dtype = v.dtype
+    vnorm = jnp.linalg.norm(v)
+    v0 = v / jnp.where(vnorm > 0, vnorm, 1.0)
+    V = jnp.zeros((m + 1, k), dtype).at[0].set(v0)
+    alphas = jnp.zeros((m,), dtype)
+    betas = jnp.zeros((m + 1,), dtype)
+
+    def body(i, carry):
+        V, alphas, betas = carry
+        w = mv(V[i])
+        w = w - betas[i] * V[i - 1] * (i > 0)
+        a = jnp.vdot(V[i], w)
+        w = w - a * V[i]
+        proj = V @ w
+        mask = (jnp.arange(m + 1) <= i).astype(dtype)
+        w = w - (proj * mask) @ V
+        b = jnp.linalg.norm(w)
+        V = V.at[i + 1].set(w / jnp.where(b > 1e-30, b, 1.0))
+        return V, alphas.at[i].set(a), betas.at[i + 1].set(b)
+
+    V, alphas, betas = jax.lax.fori_loop(0, m, body, (V, alphas, betas))
+    return vnorm, alphas, betas
+
+
+def lanczos_iterations_for_tolerance(alphas, betas, tol: float,
+                                     m_min: int = 3) -> int:
+    """Smallest j with ||B_j v - B_{j-1} v|| / ||B_j v|| < tol, from a
+    recorded tridiagonal (host-side numpy; the j x j eigh is negligible)."""
+    import numpy as np
+
+    alphas = np.asarray(alphas, np.float64)
+    betas = np.asarray(betas, np.float64)
+    m = alphas.shape[0]
+
+    def sq_e1(j):
+        T = (np.diag(alphas[:j]) + np.diag(betas[1:j], 1)
+             + np.diag(betas[1:j], -1))
+        evals, evecs = np.linalg.eigh(T)
+        return evecs @ (np.sqrt(np.maximum(evals, 0.0)) * evecs[0, :])
+
+    prev = None
+    for j in range(1, m + 1):
+        cur = sq_e1(j)
+        if prev is not None and j >= m_min:
+            d = np.linalg.norm(np.concatenate([prev, [0.0]]) - cur)
+            if d / max(np.linalg.norm(cur), 1e-30) < tol:
+                return j
+        prev = cur
+    return m
