@@ -65,7 +65,9 @@ def main():
     pos = jnp.asarray((rng.random((N, 3)) - 0.5) * L, jnp.float32)
     be = PSEGrid.create(
         b, N, viscosity=1.0, radius=radius, far_grid=far_grid,
-        tolerance=1e-4, lanczos_iterations=10, pos=pos,
+        tolerance=1e-4,
+        lanczos_iterations=int(os.environ.get("PROBE_PSE_LANCZOS", 4)),
+        pos=pos,
         n_strag=int(os.environ.get("PROBE_PSE_STRAG", 128)),
     )
     print(json.dumps({
@@ -102,7 +104,8 @@ def main():
         nx_, ny_, nz_, s3, _ = be._near_noise_slots(cg, sub)
         return jax.random.fold_in(k, jnp.int32(nx_[0, 0, 0, 0] * 0))
 
-    timed(noise_body, jax.random.key(1), "lanczos10")
+    timed(noise_body, jax.random.key(1),
+          f"lanczos{be.lanczos_iterations}")
 
     # far fused
     def far_body(p):
@@ -154,6 +157,23 @@ def main():
         return p + eps * dx
 
     timed(disp_body, pos, "full_em")
+
+    # full displacement with the in-grid WCA pair force (bench path)
+    from uammd_tpu.engine.md import lj_g_fused
+
+    sigma = 2.0 * radius
+    rc = 2.0 ** (1.0 / 6.0) * sigma
+    force_slots = be.make_pair_force_slots(
+        lj_g_fused(1.0, sigma, rc2=rc * rc, approx=True)
+    )
+
+    def disp_pair_body(p):
+        dx, _f, ovf = be.displacement_with_pair_force(
+            force_slots, p, jax.random.key(9), 0.01, 1.0
+        )
+        return b.wrap_position(p + dx * 0.01 + eps * dx)
+
+    timed(disp_pair_body, pos, "full_em_pair")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,137 @@
+"""Pencil MXU spread/interpolate vs the direct implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uammd_tpu.core.box import box
+from uammd_tpu.solvers.ibm import (
+    GaussianKernel,
+    Peskin3pt,
+    interpolate,
+    interpolate_auto,
+    spread,
+    spread_auto,
+)
+from uammd_tpu.solvers.pencil_ibm import (
+    bin_pencils,
+    interpolate_pencil,
+    pencil_ok,
+    spread_pencil,
+)
+
+
+@pytest.mark.parametrize(
+    "m,kern",
+    [
+        ((32, 40, 36), GaussianKernel(sigma=1.2, support=8)),
+        ((24, 24, 17), GaussianKernel(sigma=1.0, support=6)),
+        ((16, 16, 9), Peskin3pt()),
+        ((16, 16, 8), GaussianKernel(sigma=1.2, support=8)),
+        ((40, 32, 20), GaussianKernel(sigma=1.5, support=12)),
+    ],
+    ids=["gauss8", "gauss6", "peskin3-min", "gauss8-min", "gauss12"],
+)
+def test_pencil_matches_direct(m, kern):
+    rng = np.random.default_rng(0)
+    n = 500
+    Ls = [mm * 0.61 for mm in m]
+    b = box(Ls, dtype=jnp.float64)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(Ls))
+    q = jnp.asarray(rng.normal(size=(n, 3)))
+    assert pencil_ok(m, kern.support)
+    bins = bin_pencils(pos, m, b)
+    f_ref = spread(kern, pos, q, m, b)
+    f_p, ovf = spread_pencil(kern, pos, q, m, b, bins)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref), atol=1e-12)
+    u = jnp.asarray(rng.normal(size=m + (3,)))
+    v_ref = interpolate(kern, pos, u, b)
+    v_p, _ = interpolate_pencil(kern, pos, u, b, bins)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref), atol=1e-12)
+    # adjointness: <S q, u> dV = <q, J u>
+    dV = float(np.prod([Ls[d] / m[d] for d in range(3)]))
+    lhs = float(jnp.vdot(f_p, u)) * dV
+    rhs = float(jnp.vdot(q, v_p))
+    assert abs(lhs - rhs) <= 1e-10 * abs(rhs)
+
+
+def test_pencil_ok_predicate():
+    assert pencil_ok((16, 16, 8), 8)
+    assert not pencil_ok((16, 16, 7), 8)   # nz < support
+    assert not pencil_ok((12, 16, 8), 8)   # x not a multiple of 8
+    assert not pencil_ok((8, 16, 8), 8)    # nx < 8 + 2*halo
+    assert pencil_ok((24, 24, 24), 16)     # halo 8 fits the fold reach
+    assert not pencil_ok((24, 24, 24), 18)  # halo 9 would skip a pencil
+
+
+def test_pencil_scalar_and_chunking():
+    rng = np.random.default_rng(1)
+    m, kern = (32, 24, 18), GaussianKernel(sigma=1.1, support=8)
+    n, Ls = 700, [mm * 0.5 for mm in m]
+    b = box(Ls, dtype=jnp.float64)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(Ls))
+    q = jnp.asarray(rng.normal(size=(n,)))
+    bins = bin_pencils(pos, m, b)
+    f_ref = spread(kern, pos, q, m, b)
+    for chunk in (None, 4, 7):
+        f_p, _ = spread_pencil(kern, pos, q, m, b, bins, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                                   atol=1e-12)
+    u = jnp.asarray(rng.normal(size=m))
+    v_ref = interpolate(kern, pos, u, b)
+    for chunk in (None, 4, 7):
+        v_p, _ = interpolate_pencil(kern, pos, u, b, bins, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref),
+                                   atol=1e-12)
+
+
+def test_pencil_shared_bins_two_kernels():
+    """One binning serves two kernels of different width (force + torque)."""
+    rng = np.random.default_rng(2)
+    m = (24, 24, 24)
+    n, Ls = 300, [mm * 0.7 for mm in m]
+    b = box(Ls, dtype=jnp.float64)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(Ls))
+    q = jnp.asarray(rng.normal(size=(n, 3)))
+    bins = bin_pencils(pos, m, b)
+    for kern in (GaussianKernel(sigma=1.3, support=8),
+                 GaussianKernel(sigma=0.9, support=6)):
+        f_p, _ = spread_pencil(kern, pos, q, m, b, bins)
+        np.testing.assert_allclose(
+            np.asarray(f_p), np.asarray(spread(kern, pos, q, m, b)),
+            atol=1e-12,
+        )
+
+
+def test_pencil_overflow_flag():
+    rng = np.random.default_rng(3)
+    m = (16, 16, 16)
+    Ls = [8.0, 8.0, 8.0]
+    b = box(Ls, dtype=jnp.float64)
+    # all particles piled into one pencil with a tiny forced cap
+    pos = jnp.asarray(rng.normal(scale=0.05, size=(40, 3)))
+    bins = bin_pencils(pos, m, b, cap=8)
+    assert bool(bins.overflow)
+
+
+def test_auto_dispatch_uses_pencil():
+    """spread_auto over threshold on a pencil-safe grid matches direct."""
+    rng = np.random.default_rng(4)
+    m, kern = (24, 24, 20), GaussianKernel(sigma=1.2, support=8)
+    n, Ls = 5000, [mm * 0.5 for mm in m]
+    b = box(Ls, dtype=jnp.float64)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(Ls))
+    q = jnp.asarray(rng.normal(size=(n, 3)))
+    f_auto = spread_auto(kern, pos, q, m, b, threshold=4096)
+    np.testing.assert_allclose(
+        np.asarray(f_auto), np.asarray(spread(kern, pos, q, m, b)),
+        atol=1e-12,
+    )
+    u = jnp.asarray(rng.normal(size=m + (3,)))
+    v_auto = interpolate_auto(kern, pos, u, b, threshold=4096)
+    np.testing.assert_allclose(
+        np.asarray(v_auto), np.asarray(interpolate(kern, pos, u, b)),
+        atol=1e-12,
+    )

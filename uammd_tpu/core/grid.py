@@ -73,7 +73,8 @@ class Grid:
 
 
 def next_fft_size(
-    n: int, prefer_pow2: bool = False, tile_safe_support: int | None = None
+    n: int, prefer_pow2: bool = False, tile_safe_support: int | None = None,
+    pencil_safe: bool = False
 ) -> int:
     """Smallest m >= n with only factors {2,3,5,7} (reference: Grid.cuh:142).
 
@@ -81,10 +82,13 @@ def next_fft_size(
     fastest on powers of two). ``tile_safe_support`` additionally requires
     the size to be safe for the tiled spread/interpolate path with the given
     kernel support (solvers/tiled_ibm.tile_shape_ok: m % 8 == 0 or
-    m % 8 >= ceil(support/2)) so large-N spectral solvers stay on the fast
-    scatter-free path.
+    m % 8 >= ceil(support/2)); ``pencil_safe`` requires m % 8 == 0, keeping
+    an x/y axis on the pencil MXU spread path (solvers/pencil_ibm) — so
+    large-N spectral solvers stay on the fast scatter-free paths.
     """
     def tile_ok(m):
+        if pencil_safe and m % 8 != 0:
+            return False
         if tile_safe_support is None:
             return True
         half = (tile_safe_support + 1) // 2

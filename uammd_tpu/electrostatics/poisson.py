@@ -48,7 +48,11 @@ class Poisson:
         Ls = [float(s) for s in jax.device_get(box.size)]
         h_target = gw / max(1.0, (math.log10(1.0 / tolerance) / 3.0))
         shape = tuple(
-            next_fft_size(max(8, int(math.ceil(L / h_target))), prefer_pow2)
+            # multiples of 8 keep large-N spreads on the pencil MXU path
+            # (every axis, so cubic boxes keep an isotropic h — the Gaussian
+            # width is set in units of h = L_x/n_x)
+            next_fft_size(max(8, int(math.ceil(L / h_target))), prefer_pow2,
+                          pencil_safe=True)
             for L in Ls
         )
         if support is None:

@@ -111,15 +111,26 @@ class FCM:
                support=12, prefer_pow2=False, rpy_sinc_radius=None,
                hasimoto_k2=None):
         Ls = [float(s) for s in jax.device_get(box.size)]
+        nominal = [max(8, int(math.ceil(L * points_per_radius / radius)))
+                   for L in Ls]
         shape = tuple(
             next_fft_size(
-                max(8, int(math.ceil(L * points_per_radius / radius))),
+                n0,
                 prefer_pow2,
-                # keep large-N spreads on the tiled scatter-free path
+                # multiples of 8 on EVERY axis: keeps x/y on the pencil MXU
+                # spread path and, for cubic boxes, keeps the grid isotropic
+                # (the Gaussian width is set in units of h = L_x/n_x)
                 tile_safe_support=support if support <= 8 else None,
+                pencil_safe=support <= 16,
             )
-            for L in Ls
+            for n0 in nominal
         )
+        # ``support`` counts grid points, but the truncation radius that
+        # matters is physical: when FFT-friendliness rounds the grid up
+        # (finer h), scale the support by the same factor so the Gaussian
+        # is cut at the same (or larger) physical radius.
+        ratio = max(n / n0 for n, n0 in zip(shape, nominal))
+        support = int(2 * math.ceil(support * ratio / 2.0))
         return FCM(
             box=box, viscosity=viscosity, radius=radius, shape=shape,
             support=support, box_size=tuple(Ls),
@@ -164,6 +175,33 @@ class FCM:
         return GaussianKernel(sigma=self.sigma_torque / h,
                               support=self.support)
 
+    def _spread_interp(self, pos):
+        """(spread_fn, interp_fn) sharing ONE pencil binning across every
+        spread/interpolate of a spectral pass (bins are kernel-independent,
+        so the force and torque kernels reuse them); falls back to the
+        per-call auto dispatch on pencil-unsafe grids or small N."""
+        from ...solvers.ibm import _poison
+        from ...solvers.pencil_ibm import (
+            bin_pencils, interpolate_pencil, pencil_ok, spread_pencil)
+
+        if pos.shape[0] >= 4096 and pencil_ok(self.shape, self.support):
+            bins = bin_pencils(pos, self.shape, self.box)
+
+            def sp(kern, p, vals):
+                f, ovf = spread_pencil(kern, p, vals, self.shape, self.box,
+                                       bins)
+                return _poison(f, ovf)
+
+            def it(kern, p, field):
+                v, ovf = interpolate_pencil(kern, p, field, self.box, bins)
+                return _poison(v, ovf)
+
+            return sp, it
+        return (
+            lambda kern, p, vals: spread(kern, p, vals, self.shape, self.box),
+            lambda kern, p, field: interpolate(kern, p, field, self.box),
+        )
+
     def _project(self, fk, kx, ky, kz):
         """(I - k^k^)/ (eta k^2) applied to the k-space force [.., 3]
         (x sinc^2(ka) when the RPY envelope is enabled)."""
@@ -193,8 +231,14 @@ class FCM:
 
     def compute_mf(self, pos, forces):
         with jax.named_scope("uammd.fcm.compute_mf"):
-            u, kern = self.grid_velocity(pos, forces)
-            return interpolate(kern, pos, u, self.box)
+            sp, it = self._spread_interp(pos)
+            kern = self._kernel(pos.dtype)
+            f_grid = sp(kern, pos, forces)
+            fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
+            kx, ky, kz = _wavevectors(self.shape, self.box_size, pos.dtype)
+            uk = self._project(fk, kx, ky, kz)
+            u = jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
+            return it(kern, pos, u)
 
     def compute_hydrodynamic_displacements(self, pos, forces, torques=None):
         """Linear (and angular) velocities from forces (and torques).
@@ -208,11 +252,12 @@ class FCM:
         parameter away)."""
         kern = self._kernel(pos.dtype)
         kern_t = self._kernel_torque(pos.dtype)
-        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        sp, it = self._spread_interp(pos)
+        f_grid = sp(kern, pos, forces)
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, pos.dtype)
         if torques is not None:
-            t_grid = spread(kern_t, pos, torques, self.shape, self.box)
+            t_grid = sp(kern_t, pos, torques)
             tk = jnp.fft.rfftn(t_grid, axes=(0, 1, 2))
             # add (i/2) k x tau
             fk = fk + 0.5j * jnp.stack(
@@ -225,7 +270,7 @@ class FCM:
             )
         uk = self._project(fk, kx, ky, kz)
         u = jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
-        v = interpolate(kern, pos, u, self.box)
+        v = it(kern, pos, u)
         if torques is None:
             return v, None
         wk = 0.5j * jnp.stack(
@@ -237,7 +282,7 @@ class FCM:
             -1,
         )
         w = jnp.fft.irfftn(wk, s=self.shape, axes=(0, 1, 2))
-        omega = interpolate(kern_t, pos, w, self.box)
+        omega = it(kern_t, pos, w)
         return v, omega
 
     def compute_mf_bdw_torques(self, pos, forces, torques, key, noise_amp):
@@ -252,10 +297,11 @@ class FCM:
         dtype = pos.dtype
         kern = self._kernel(dtype)
         kern_t = self._kernel_torque(dtype)
-        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        sp, it = self._spread_interp(pos)
+        f_grid = sp(kern, pos, forces)
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
-        t_grid = spread(kern_t, pos, torques, self.shape, self.box)
+        t_grid = sp(kern_t, pos, torques)
         tk = jnp.fft.rfftn(t_grid, axes=(0, 1, 2))
         fk = fk + 0.5j * jnp.stack(
             [
@@ -288,7 +334,7 @@ class FCM:
             )
             uk = uk + bk
         u = jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2))
-        v = interpolate(kern, pos, u, self.box)
+        v = it(kern, pos, u)
         wk = 0.5j * jnp.stack(
             [
                 ky * uk[..., 2] - kz * uk[..., 1],
@@ -298,7 +344,7 @@ class FCM:
             -1,
         )
         w = jnp.fft.irfftn(wk, s=self.shape, axes=(0, 1, 2))
-        omega = interpolate(kern_t, pos, w, self.box)
+        omega = it(kern_t, pos, w)
         return v, omega
 
     def compute_mf_bdw(self, pos, forces, key, noise_amp):
@@ -309,7 +355,8 @@ class FCM:
         with addBrownianNoise :437 injected into the same convolution)."""
         dtype = pos.dtype
         kern = self._kernel(dtype)
-        f_grid = spread(kern, pos, forces, self.shape, self.box)
+        sp, it = self._spread_interp(pos)
+        f_grid = sp(kern, pos, forces)
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)
         uk = self._project(fk, kx, ky, kz)
@@ -335,7 +382,7 @@ class FCM:
             axis=-1,
         )
         u = jnp.fft.irfftn(uk + bk, s=self.shape, axes=(0, 1, 2))
-        return interpolate(kern, pos, u, self.box)
+        return it(kern, pos, u)
 
     def compute_bdw(self, pos, key):
         """sqrt(M) dW: filter real white noise through sqrt(B(k)) =
@@ -360,7 +407,8 @@ class FCM:
         )
         u = jnp.fft.irfftn(bk, s=self.shape, axes=(0, 1, 2))
         kern = self._kernel(dtype)
-        return interpolate(kern, pos, u, self.box)
+        _, it = self._spread_interp(pos)
+        return it(kern, pos, u)
 
     def divergence(self, pos):
         return jnp.zeros_like(pos)

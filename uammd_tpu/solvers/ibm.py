@@ -182,35 +182,42 @@ def _poison(x, overflow):
 
 def spread_auto(kernel, pos, values, shape, box: Box, *, threshold=4096,
                 cap=None):
-    """Dispatch: tiled scatter-free path for large N (see tiled_ibm.py),
-    direct scatter otherwise.  Falls back to the direct path when the grid
-    shape's trailing partial tiles are too narrow for the kernel support
-    (wrap contributions would be dropped — see tiled_ibm.tile_shape_ok).
-    A tile-capacity overflow NaN-poisons the result rather than silently
-    dropping particles; pass ``cap`` for unusually clustered densities."""
+    """Dispatch: pencil MXU path for large N on pencil-safe grids (see
+    pencil_ibm.py), tiled scatter-free path when only tile-safe, direct
+    scatter otherwise.  A bin-capacity overflow NaN-poisons the result
+    rather than silently dropping particles; pass ``cap`` (in units of the
+    chosen path's bin) for unusually clustered densities."""
+    from .pencil_ibm import bin_pencils, pencil_ok, spread_pencil
     from .tiled_ibm import pick_tile, spread_tiled, tile_shape_ok
 
-    tile = pick_tile(shape, kernel.support)
-    if (
-        pos.shape[0] >= threshold
-        and tile_shape_ok(shape, kernel.support, tile)
-    ):
-        field, overflow = spread_tiled(kernel, pos, values, shape, box,
-                                       cap=cap, tile=tile)
-        return _poison(field, overflow)
+    if pos.shape[0] >= threshold:
+        if pencil_ok(shape, kernel.support):
+            bins = bin_pencils(pos, shape, box, cap=cap)
+            field, overflow = spread_pencil(kernel, pos, values, shape, box,
+                                            bins)
+            return _poison(field, overflow)
+        tile = pick_tile(shape, kernel.support)
+        if tile_shape_ok(shape, kernel.support, tile):
+            field, overflow = spread_tiled(kernel, pos, values, shape, box,
+                                           cap=cap, tile=tile)
+            return _poison(field, overflow)
     return spread(kernel, pos, values, shape, box)
 
 
 def interpolate_auto(kernel, pos, field, box: Box, *, threshold=4096,
                      cap=None):
+    from .pencil_ibm import bin_pencils, interpolate_pencil, pencil_ok
     from .tiled_ibm import interpolate_tiled, pick_tile, tile_shape_ok
 
-    tile = pick_tile(field.shape[:3], kernel.support)
-    if (
-        pos.shape[0] >= threshold
-        and tile_shape_ok(field.shape[:3], kernel.support, tile)
-    ):
-        out, overflow = interpolate_tiled(kernel, pos, field, box, cap=cap,
-                                          tile=tile)
-        return _poison(out, overflow)
+    shape = field.shape[:3]
+    if pos.shape[0] >= threshold:
+        if pencil_ok(shape, kernel.support):
+            bins = bin_pencils(pos, shape, box, cap=cap)
+            out, overflow = interpolate_pencil(kernel, pos, field, box, bins)
+            return _poison(out, overflow)
+        tile = pick_tile(shape, kernel.support)
+        if tile_shape_ok(shape, kernel.support, tile):
+            out, overflow = interpolate_tiled(kernel, pos, field, box,
+                                              cap=cap, tile=tile)
+            return _poison(out, overflow)
     return interpolate(kernel, pos, field, box)
