@@ -146,29 +146,33 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=2)
-    def run(p, key, nsteps):
+    # persistent binning (near pid layout + far pencil bins) carried in the
+    # scan: rebinned on the drift criteria instead of every step
+    st0 = jax.jit(be.em_state)(pos)
+
+    @partial(jax.jit, static_argnums=3)
+    def run(p, st, key, nsteps):
         def body(carry, _):
-            p, k = carry
+            p, st, k = carry
             k, sub = jax.random.split(k)
-            dx, _f, ovf = be.displacement_with_pair_force(
-                force_slots, p, sub, dt, temperature
+            dx, _f, st = be.displacement_with_pair_force_persistent(
+                force_slots, p, sub, dt, temperature, st
             )
             p = b.wrap_position(p + dx)
-            return (p, k), ovf
-        (p, k), ovf = jax.lax.scan(body, (p, key), None, length=nsteps)
-        return p, jax.numpy.any(ovf)
+            return (p, st, k), None
+        (p, st, k), _ = jax.lax.scan(body, (p, st, key), None, length=nsteps)
+        return p, st
 
     key = jax.random.key(0)
     # warm up with the SAME static step count: run() compiles per nsteps,
     # so a different warmup length would put the compile inside the timing
-    p, ovf = run(pos, key, steps)
+    p, st = run(pos, st0, key, steps)
     sync(p)
     t0 = time.perf_counter()
-    p, ovf = run(p, jax.random.fold_in(key, 1), steps)
+    p, st = run(p, st, jax.random.fold_in(key, 1), steps)
     sync(p)
     dt_s = (time.perf_counter() - t0) / steps
-    if bool(jax.device_get(ovf)):
+    if bool(jax.device_get(st.overflow)):
         print(json.dumps({"warning": "pse overflow during timed phase"}))
     return n / dt_s
 

@@ -175,6 +175,18 @@ def main():
 
     timed(disp_pair_body, pos, "full_em_pair")
 
+    # persistent-binning EM step (near pid layout + far pencil bins carried)
+    st0 = jax.jit(be.em_state)(pos)
+
+    def disp_pair_persistent(carry):
+        p, st = carry
+        dx, _f, st = be.displacement_with_pair_force_persistent(
+            force_slots, p, jax.random.key(9), 0.01, 1.0, st
+        )
+        return (b.wrap_position(p + dx * 0.01 + eps * dx), st)
+
+    timed(disp_pair_persistent, (pos, st0), "full_em_pair_persistent")
+
 
 if __name__ == "__main__":
     main()

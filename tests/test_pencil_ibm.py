@@ -135,3 +135,30 @@ def test_auto_dispatch_uses_pencil():
         np.asarray(v_auto), np.asarray(interpolate(kern, pos, u, b)),
         atol=1e-12,
     )
+
+
+def test_pencil_slack_staleness_exact():
+    """Bins built at old positions stay EXACT (vs the direct path at the
+    CURRENT positions) while x/y drift < slack*h — the persistent-bins
+    contract of the slot-resident EM loop."""
+    rng = np.random.default_rng(7)
+    m, kern = (24, 24, 20), GaussianKernel(sigma=1.2, support=8)
+    n = 600
+    Ls = [mm * 0.7 for mm in m]
+    h = Ls[0] / m[0]
+    b = box(Ls, dtype=jnp.float64)
+    pos0 = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(Ls))
+    bins = bin_pencils(pos0, m, b)
+    # drift strictly less than slack*h in x/y (z drift unconstrained)
+    drift = jnp.asarray(rng.uniform(-0.99, 0.99, size=(n, 3)))
+    drift = drift * jnp.asarray([h, h, 3.0 * h])
+    pos1 = pos0 + drift   # may leave the primary box: wrap handled inside
+    q = jnp.asarray(rng.normal(size=(n, 3)))
+    f_ref = spread(kern, pos1, q, m, b)
+    f_p, ovf = spread_pencil(kern, pos1, q, m, b, bins, slack=1)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref), atol=1e-12)
+    u = jnp.asarray(rng.normal(size=m + (3,)))
+    v_ref = interpolate(kern, pos1, u, b)
+    v_p, _ = interpolate_pencil(kern, pos1, u, b, bins, slack=1)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref), atol=1e-12)

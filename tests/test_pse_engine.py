@@ -313,3 +313,78 @@ def test_tuned_lanczos_iteration_count():
     vx, vy, vz = loose.near_matvec_slots(cg, *z)
     rhs = float(sum(jnp.sum(a * c) for a, c in zip(z, (vx, vy, vz))))
     np.testing.assert_allclose(lhs, rhs, rtol=7e-2)
+
+
+def test_persistent_em_state_matches_fresh():
+    """The slot-resident EM step (persistent near pid layout + far pencil
+    bins, gather-refresh between drift rebins) produces the same
+    deterministic displacement as the per-step-binned path while particles
+    drift far enough to cross cells and trip both rebin criteria."""
+    from uammd_tpu.engine.md import lj_g_fused
+
+    rng = np.random.default_rng(5)
+    n, L = 4096, 64.0
+    b = box(L)
+    # lattice start: random insertion would put particles deep inside the
+    # WCA core (forces ~1e8) and drown the comparison in f32 sum-order noise
+    from uammd_tpu.utils.lattices import lattice
+
+    pos = jnp.asarray(lattice(n, L, "fcc"), jnp.float32)
+    be = PSEGrid.create(b, n, viscosity=1.0, radius=1.0, far_grid=24,
+                        tolerance=1e-3, lanczos_iterations=4, pos=pos,
+                        n_strag=64)
+    sigma = 2.0
+    rc = 2.0 ** (1.0 / 6.0) * sigma
+    force_slots = be.make_pair_force_slots(
+        lj_g_fused(1.0, sigma, rc2=rc * rc, approx=False)
+    )
+    st = be.em_state(pos)
+    key = jax.random.key(0)
+    drift = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    p = pos
+    crossed = False
+    for step in range(6):
+        dx_p, f_p, st = be.displacement_with_pair_force_persistent(
+            force_slots, p, key, 0.01, 0.0, st
+        )
+        dx_f, f_f, ovf = be.displacement_with_pair_force(
+            force_slots, p, key, 0.01, 0.0
+        )
+        scale = float(jnp.max(jnp.abs(dx_f))) + 1e-12
+        # f32 tolerance: the two paths bin (and therefore sum) in different
+        # orders, and the far solve amplifies low-k rounding noise by 1/k^2
+        # — exactness of stale-bin spreading is proven in f64 at the pencil
+        # level (test_pencil_ibm.test_pencil_slack_staleness_exact)
+        np.testing.assert_allclose(
+            np.asarray(dx_p), np.asarray(dx_f), atol=5e-3 * scale + 1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_p), np.asarray(f_f), atol=1e-4, rtol=1e-4
+        )
+        # march particles with a fixed random flow large enough to force
+        # cell crossings (and therefore both rebins) within a few steps
+        p = b.wrap_position(p + 0.2 * drift)
+        crossed = crossed or float(jnp.max(jnp.abs(0.2 * drift))) > 0
+    assert not bool(jax.device_get(st.overflow))
+
+
+def test_persistent_em_rebins_on_drift():
+    """Drift past the near threshold must flip the persistent state's pid
+    layout (the rebin actually fires rather than silently keeping stale
+    bins)."""
+    rng = np.random.default_rng(6)
+    n, L = 4096, 64.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    be = PSEGrid.create(b, n, viscosity=1.0, radius=1.0, far_grid=24,
+                        tolerance=1e-3, lanczos_iterations=2, pos=pos)
+    st0 = be.em_state(pos)
+    # move everything by more than a cell: both criteria must trip
+    p2 = b.wrap_position(pos + jnp.asarray([5.0, 5.0, 5.0], jnp.float32))
+    _cg, _bins, st1 = be._refresh(st0, p2)
+    assert not np.array_equal(np.asarray(st1.ref), np.asarray(st0.ref))
+    assert not np.array_equal(np.asarray(st1.far_ref),
+                              np.asarray(st0.far_ref))
+    # no movement: state untouched
+    _cg, _bins, st2 = be._refresh(st0, pos)
+    assert np.array_equal(np.asarray(st2.pid), np.asarray(st0.pid))

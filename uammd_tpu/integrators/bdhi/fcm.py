@@ -175,25 +175,42 @@ class FCM:
         return GaussianKernel(sigma=self.sigma_torque / h,
                               support=self.support)
 
-    def _spread_interp(self, pos):
+    def pencil_bins(self, pos, slack: int = 0):
+        """Pencil bins for this grid, or None when the pencil path does not
+        apply.  With ``slack`` > 0 the bins stay exact for up to slack*h of
+        x/y drift — reusable across integrator steps (pass them back via
+        ``bins=``/``slack=`` on the compute_* methods and rebin when
+        max drift exceeds slack * min(hx, hy))."""
+        from ...solvers.pencil_ibm import bin_pencils, pencil_ok
+
+        if pos.shape[0] >= 4096 and pencil_ok(self.shape, self.support,
+                                              slack):
+            return bin_pencils(pos, self.shape, self.box)
+        return None
+
+    def _spread_interp(self, pos, bins=None, slack: int = 0):
         """(spread_fn, interp_fn) sharing ONE pencil binning across every
         spread/interpolate of a spectral pass (bins are kernel-independent,
         so the force and torque kernels reuse them); falls back to the
-        per-call auto dispatch on pencil-unsafe grids or small N."""
+        per-call auto dispatch on pencil-unsafe grids or small N.  Pass a
+        persistent ``bins`` (from pencil_bins) to skip the per-call
+        binning."""
         from ...solvers.ibm import _poison
-        from ...solvers.pencil_ibm import (
-            bin_pencils, interpolate_pencil, pencil_ok, spread_pencil)
+        from ...solvers.pencil_ibm import interpolate_pencil, spread_pencil
 
-        if pos.shape[0] >= 4096 and pencil_ok(self.shape, self.support):
-            bins = bin_pencils(pos, self.shape, self.box)
+        if bins is None:
+            slack = 0
+            bins = self.pencil_bins(pos)
+        if bins is not None:
 
             def sp(kern, p, vals):
                 f, ovf = spread_pencil(kern, p, vals, self.shape, self.box,
-                                       bins)
+                                       bins, slack=slack)
                 return _poison(f, ovf)
 
             def it(kern, p, field):
-                v, ovf = interpolate_pencil(kern, p, field, self.box, bins)
+                v, ovf = interpolate_pencil(kern, p, field, self.box, bins,
+                                            slack=slack)
                 return _poison(v, ovf)
 
             return sp, it
@@ -229,9 +246,9 @@ class FCM:
         uk = self._project(fk, kx, ky, kz)
         return jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1, 2)), kern
 
-    def compute_mf(self, pos, forces):
+    def compute_mf(self, pos, forces, bins=None, slack: int = 0):
         with jax.named_scope("uammd.fcm.compute_mf"):
-            sp, it = self._spread_interp(pos)
+            sp, it = self._spread_interp(pos, bins, slack)
             kern = self._kernel(pos.dtype)
             f_grid = sp(kern, pos, forces)
             fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
@@ -347,7 +364,8 @@ class FCM:
         omega = it(kern_t, pos, w)
         return v, omega
 
-    def compute_mf_bdw(self, pos, forces, key, noise_amp):
+    def compute_mf_bdw(self, pos, forces, key, noise_amp, bins=None,
+                       slack: int = 0):
         """M F + noise_amp * B^(1/2) dW in ONE spectral pass: one spread,
         one k-space combine, one inverse transform, one interpolation — the
         fusion the reference performs inside
@@ -355,7 +373,7 @@ class FCM:
         with addBrownianNoise :437 injected into the same convolution)."""
         dtype = pos.dtype
         kern = self._kernel(dtype)
-        sp, it = self._spread_interp(pos)
+        sp, it = self._spread_interp(pos, bins, slack)
         f_grid = sp(kern, pos, forces)
         fk = jnp.fft.rfftn(f_grid, axes=(0, 1, 2))
         kx, ky, kz = _wavevectors(self.shape, self.box_size, dtype)

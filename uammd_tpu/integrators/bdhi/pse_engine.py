@@ -42,7 +42,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.box import Box
-from ...engine.layout import ChannelGrid, choose_spec, pack_channels, unpack_values
+from ...engine.layout import (
+    EMPTY_POS,
+    ChannelGrid,
+    choose_spec,
+    pack_channels,
+    unpack_values,
+)
 from ...engine.pair_kernel import (
     broadcast_strag_channels,
     make_pair_channel_kernel,
@@ -50,6 +56,22 @@ from ...engine.pair_kernel import (
 from ...solvers.lanczos import lanczos_sqrt_apply
 from .fcm import FCM
 from .pse import _blob_fg, _rpy_fg
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PSEStepState:
+    """Persistent binning state of the slot-resident EM loop (carried in
+    the integrator scan): near-grid pid layout + far pencil bins + the
+    reference positions each was built at.  ``overflow`` latches."""
+
+    pid: jax.Array          # near grid [nz, nyb, CAP, NLANE] int32
+    spid: jax.Array         # near stragglers [S] int32
+    ref: jax.Array          # [N, 3] positions at near bin time
+    far_pids: jax.Array     # pencil bins [npen, cap] int32
+    far_slot_of_pid: jax.Array  # [N] int32
+    far_ref: jax.Array      # [N, 2] xy at far bin time
+    overflow: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +91,10 @@ class PSEGrid:
     self_f: float
     fit_error: float
     lanczos_iterations: int = 12
+    # patch-halo slack (far-grid points) for persistent pencil bins: the
+    # far spread/interp stays exact until some particle drifts slack*h in
+    # x/y since the bins were built (see em_state/_refresh)
+    far_slack: int = 1
 
     @staticmethod
     def create(
@@ -472,6 +498,169 @@ class PSEGrid:
             cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)
         ).astype(pos.dtype)
         return dt * (near + far_v), forces, cg.overflow
+
+    # ------------------------------------------- persistent-binning EM steps
+    def em_state(self, pos) -> "PSEStepState":
+        """Initial persistent binning state for the slot-resident EM loop:
+        the near-grid pid layout and the far pencil bins are carried across
+        steps and refreshed only on drift (reference analog: VerletList's
+        skin criterion, VerletListBase.cuh:56-70, applied to both grids)."""
+        pos = jnp.asarray(pos, jnp.float32)
+        Ls = self.spec.box_size
+        # ref holds WRAPPED bin-time positions: the gather-refresh rebuilds
+        # slot coordinates as ref + min_image(pos - ref), keeping a particle
+        # that crossed the periodic boundary in the same image branch its
+        # cell assignment was made in (the engine's rebin does the same —
+        # slot coordinates may run slightly out of the primary box between
+        # rebins, engine/layout.rebin)
+        pos_w = jnp.stack(
+            [pos[:, d] - Ls[d] * jnp.round(pos[:, d] / Ls[d])
+             for d in range(3)], -1,
+        )
+        cg = pack_channels(
+            self.spec, pos, jnp.zeros((pos.shape[0], 0), jnp.float32)
+        )
+        bins = self.far.pencil_bins(pos, slack=self.far_slack)
+        assert bins is not None, (
+            "far grid is not pencil-safe with this far_slack — "
+            "the persistent EM path requires the pencil spread"
+        )
+        return PSEStepState(
+            pid=cg.pid, spid=cg.spid, ref=pos_w,
+            far_pids=bins.pids, far_slot_of_pid=bins.slot_of_pid,
+            far_ref=pos[:, :2],
+            overflow=cg.overflow | bins.overflow,
+        )
+
+    def _far_hmin(self) -> float:
+        return min(self.far.box_size[d] / self.far.shape[d] for d in (0, 1))
+
+    def _refresh(self, st: "PSEStepState", pos):
+        """Drift-check both grids, rebin whichever exceeded its slack, and
+        gather-refresh the slot positions from the CURRENT positions (the
+        per-step cost is 4 gathers instead of the full two-sort pack)."""
+        from ...solvers.pencil_ibm import PencilBins
+
+        spec = self.spec
+        Ls = spec.box_size
+        n = pos.shape[0]
+
+        def wdiff(a, b, L):
+            d = a - b
+            return jnp.abs(d - L * jnp.round(d / L))
+
+        dmax = jnp.max(jnp.stack(
+            [jnp.max(wdiff(pos[:, i], st.ref[:, i], Ls[i])) for i in range(3)]
+        ))
+        need_near = dmax > jnp.float32(spec.drift_threshold)
+        dfar = jnp.max(jnp.stack(
+            [jnp.max(wdiff(pos[:, i], st.far_ref[:, i], Ls[i]))
+             for i in range(2)]
+        ))
+        need_far = dfar > jnp.float32(self.far_slack * self._far_hmin())
+
+        pos_w = jnp.stack(
+            [pos[:, d] - Ls[d] * jnp.round(pos[:, d] / Ls[d])
+             for d in range(3)], -1,
+        )
+
+        def repack(_):
+            cg = pack_channels(spec, pos, jnp.zeros((n, 0), jnp.float32))
+            return cg.pid, cg.spid, pos_w, cg.overflow
+
+        def keep(_):
+            return st.pid, st.spid, st.ref, jnp.zeros((), bool)
+
+        pid, spid, ref, ovf_n = jax.lax.cond(need_near, repack, keep, None)
+
+        def refar(_):
+            bins = self.far.pencil_bins(pos, slack=self.far_slack)
+            return bins.pids, bins.slot_of_pid, pos[:, :2], bins.overflow
+
+        def keepf(_):
+            return (st.far_pids, st.far_slot_of_pid, st.far_ref,
+                    jnp.zeros((), bool))
+
+        fpids, fslot, fref, ovf_f = jax.lax.cond(need_far, refar, keepf, None)
+        overflow = st.overflow | ovf_n | ovf_f
+        st2 = PSEStepState(
+            pid=pid, spid=spid, ref=ref,
+            far_pids=fpids, far_slot_of_pid=fslot, far_ref=fref,
+            overflow=overflow,
+        )
+        # gather-refresh slot positions (empties keep EMPTY_POS so their
+        # pair weights vanish, exactly as after a fresh pack): coordinate =
+        # bin-time wrapped ref + min-image drift, so a boundary-crossing
+        # particle stays in its cell's image branch instead of jumping by L
+        def branch_pos(d):
+            dd = pos[:, d] - ref[:, d]
+            return ref[:, d] + (dd - Ls[d] * jnp.round(dd / Ls[d]))
+
+        px, py, pz = branch_pos(0), branch_pos(1), branch_pos(2)
+        m = pid >= 0
+        src = jnp.maximum(pid, 0)
+        empty = jnp.float32(EMPTY_POS)
+        x = jnp.where(m, px[src], empty)
+        y = jnp.where(m, py[src], empty)
+        z = jnp.where(m, pz[src], empty)
+        S = spec.n_strag
+        if S:
+            sm = spid >= 0
+            ssrc = jnp.maximum(spid, 0)
+            spos = jnp.where(
+                sm[:, None],
+                jnp.stack([px[ssrc], py[ssrc], pz[ssrc]], -1), empty,
+            )
+        else:
+            spos = jnp.full((0, 3), EMPTY_POS, jnp.float32)
+        cg = ChannelGrid(
+            spec=spec, n=n, x=x, y=y, z=z, channels=(),
+            pid=pid, overflow=overflow,
+            spos=spos, schannels=(), spid=spid,
+        )
+        bins = PencilBins(pids=fpids, slot_of_pid=fslot, overflow=overflow)
+        return cg, bins, st2
+
+    def displacement_with_pair_force_persistent(
+        self, force_slots_fn, pos, key, dt, temperature, st: "PSEStepState"
+    ):
+        """``displacement_with_pair_force`` with both binnings carried
+        across steps: rebin on drift (near: half-cell-slack criterion; far:
+        pencil halo slack), otherwise 4 gathers replace the two-sort pack.
+        Returns (dx, forces, st') — overflow latches in st'."""
+        amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
+        S = self.spec.n_strag
+        with jax.named_scope("uammd.pse.refresh"):
+            cg, bins, st = self._refresh(st, pos)
+        with jax.named_scope("uammd.pse.pair_force"):
+            (fx, fy, fz), sf3 = force_slots_fn(cg)
+        with jax.named_scope("uammd.pse.near_mf"):
+            if S:
+                vx, vy, vz, sv3 = self.near_matvec_slots(
+                    cg, fx, fy, fz, sf3=sf3
+                )
+                sv3 = list(sv3)
+            else:
+                vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
+        forces = unpack_values(cg, (fx, fy, fz), svalues=sf3).astype(pos.dtype)
+        if temperature > 0:
+            k1, k2 = jax.random.split(key)
+            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
+            a = np.float32(amp)
+            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
+            if S:
+                sv3 = [s + a * b for s, b in zip(sv3, b3)]
+            far_v = self.far.compute_mf_bdw(
+                pos, forces, k1, amp, bins=bins, slack=self.far_slack
+            )
+        else:
+            far_v = self.far.compute_mf(
+                pos, forces, bins=bins, slack=self.far_slack
+            )
+        near = unpack_values(
+            cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)
+        ).astype(pos.dtype)
+        return dt * (near + far_v), forces, st
 
     # ------------------------------------------------- [N]-order interface
     def near_matvec(self, pos, forces):

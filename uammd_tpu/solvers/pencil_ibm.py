@@ -45,8 +45,8 @@ def _halo(support: int) -> int:
     return (support + 1) // 2
 
 
-def pencil_ok(shape, support) -> bool:
-    h = _halo(support)
+def pencil_ok(shape, support, slack: int = 0) -> bool:
+    h = _halo(support) + slack
     return (
         h <= PENCIL
         and shape[0] % PENCIL == 0
@@ -183,20 +183,26 @@ def _chunked(fn, args, npen, chunk):
 
 
 def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
-                  *, chunk=64):
+                  *, chunk=64, slack=0):
     """S: values [N] or [N, C] -> field [nx, ny, nz(, C)] over shared bins.
 
     Returns (field, overflow).  Same 1/dV density normalization as
-    solvers.ibm.spread; results match it to summation-order rounding."""
+    solvers.ibm.spread; results match it to summation-order rounding.
+
+    ``slack`` widens the patch halo by that many grid points: weights stay
+    exact for particles that drifted up to slack*h in x/y since ``bins``
+    was built (z is evaluated densely — z drift never matters), enabling
+    persistent bins across integrator steps.  The CALLER owns the rebin
+    criterion: max |x,y drift| < slack*h."""
     squeeze = values.ndim == 1
     if squeeze:
         values = values[:, None]
     C = values.shape[1]
-    assert pencil_ok(shape, kernel.support), (
+    assert pencil_ok(shape, kernel.support, slack), (
         f"shape {tuple(shape)} unsuitable for the pencil path with support "
-        f"{kernel.support} — use spread_auto"
+        f"{kernel.support} + slack {slack} — use spread_auto"
     )
-    halo = _halo(kernel.support)
+    halo = _halo(kernel.support) + slack
     P = PENCIL + 2 * halo
     npx, npy = shape[0] // PENCIL, shape[1] // PENCIL
     npen = npx * npy
@@ -239,18 +245,19 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
 
 
 def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
-                       *, chunk=64):
-    """J = S*: field [nx, ny, nz(, C)] -> [N(, C)] over shared bins."""
+                       *, chunk=64, slack=0):
+    """J = S*: field [nx, ny, nz(, C)] -> [N(, C)] over shared bins.
+    ``slack`` as in spread_pencil (drift tolerance for persistent bins)."""
     squeeze = field.ndim == 3
     if squeeze:
         field = field[..., None]
     C = field.shape[-1]
     shape = field.shape[:3]
-    assert pencil_ok(shape, kernel.support), (
+    assert pencil_ok(shape, kernel.support, slack), (
         f"shape {tuple(shape)} unsuitable for the pencil path with support "
-        f"{kernel.support} — use interpolate_auto"
+        f"{kernel.support} + slack {slack} — use interpolate_auto"
     )
-    halo = _halo(kernel.support)
+    halo = _halo(kernel.support) + slack
     P = PENCIL + 2 * halo
     npx, npy = shape[0] // PENCIL, shape[1] // PENCIL
     npen = npx * npy
