@@ -63,10 +63,12 @@ def image_compare(eps_below, atol):
     )
 
 
+@pytest.mark.slow
 def test_dielectric_jump_matches_image_charges():
     image_compare(eps_below=4.0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_metallic_wall_matches_perfect_images():
     image_compare(eps_below=math.inf, atol=5e-3)
 

@@ -136,3 +136,34 @@ def test_sharded_poisson_matches_single_device():
     E = np.asarray(gather_shards(E_sh, mask, order, n))
     assert np.abs(phi - phi_ref).max() / np.abs(phi_ref).max() < 1e-10
     assert np.abs(E - E_ref).max() / np.abs(E_ref).max() < 1e-10
+
+
+def test_sharded_dpstokes_matches_single_device():
+    """x-slab + ky-sharded BVP DPStokes M F == the single-device solver."""
+    from uammd_tpu.integrators.bdhi.dpstokes import DPStokes
+    from uammd_tpu.parallel.spectral import make_sharded_dpstokes_mf
+
+    n, L, H = 96, 16.0, 8.0
+    b = box([L, L, H])
+    rng = np.random.default_rng(3)
+    pos = np.column_stack([
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * 0.7 * H,
+    ])
+    pos = jnp.asarray(pos)
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+
+    # radius 0.4 -> nx = 80: divisible by the 8-way mesh with slabs at
+    # least as thick as the support-10 kernel
+    dps = DPStokes.create(b, viscosity=1.2, radius=0.4,
+                          points_per_radius=2.0, nz=20, mode="slit")
+    ref = np.asarray(dps.compute_mf(pos, F))
+
+    mesh = make_mesh(8, axis="x")
+    mf = make_sharded_dpstokes_mf(mesh, dps, axis="x")
+    pos_sh, f_sh, mask, order = shard_particles_x(pos, F, 8, b)
+    out = np.asarray(gather_shards(mf(pos_sh, f_sh, mask), mask, order, n))
+
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err

@@ -410,3 +410,149 @@ def make_sharded_poisson(
         return phi.reshape(D_, m), E.reshape(D_, m, 3)
 
     return jax.jit(apply)
+
+
+def make_sharded_dpstokes_mf(mesh: Mesh, dps, axis: str = "x"):
+    """Sharded doubly periodic Stokes M F: x-slab particles/grid, ky-sharded
+    per-mode BVP solves (reference: src/Integrator/BDHI/DoublyPeriodic/
+    DPStokesSlab.cuh — single-GPU; sharding is the TPU build's own
+    obligation, SURVEY 2.6/§5).
+
+    Structure (1-D mesh over ``axis``):
+    - local spread on an x-extended slab + ppermute halo reduce (the FCM
+      pattern above), z = full Chebyshev axis on every shard;
+    - rfft(y) locally, ONE all-to-all (ky-split, x-gather), fft(x) locally;
+    - the batched 4nz x 4nz BVP inverses are applied on each shard's ky
+      chunk — the precomputed operator tensor itself is sharded over ky, so
+      each chip stores 1/D of the (large) dense inverses;
+    - mirrored inverse transforms, halo extend, local interpolation.
+
+    Returns jitted apply(pos_sh, force_sh, mask) -> vel_sh for shards from
+    shard_particles_x.
+    """
+    D = mesh.devices.size
+    nx, ny = dps.shape
+    nz = dps.nz
+    assert nx % D == 0, "shape[0] must divide the mesh"
+    nx_loc = nx // D
+    Pad = dps.support
+    assert Pad <= nx_loc, "slab thinner than the kernel support"
+    nyk = ny // 2 + 1
+    nyk_pad = ((nyk + D - 1) // D) * D
+    nyc = nyk_pad // D
+    s = dps.support
+    hx = dps.box_size[0] / nx
+    hy = dps.box_size[1] / ny
+
+    # [nyk_pad, nx, 4nz, 4nz]: ky leading so P(axis) shards the mode axis
+    ops = np.asarray(dps.inv_ops).reshape(nx, nyk, 4 * nz, 4 * nz)
+    ops = np.transpose(ops, (1, 0, 2, 3))
+    ops = np.pad(ops, ((0, nyk_pad - nyk), (0, 0), (0, 0), (0, 0)))
+    ops_j = jnp.asarray(ops)
+
+    def mf_shard(pos, force, mask, ops_loc):
+        dtype = pos.dtype
+        idxv = jax.lax.axis_index(axis)
+        x0 = idxv * nx_loc
+
+        gx, gy, wx, wy, norm = dps._xy_weights(pos, dtype)
+        phi_z, w_cc = dps._z_weights(pos, dtype)
+        lx = jnp.mod(gx - x0 + Pad, nx)                 # [m, s]
+        insx = lx < nx_loc + 2 * Pad
+        lxb = jnp.where(insx, lx, 0)
+        inside = insx[:, :, None] & mask[:, None, None]  # [m, s, s]
+        w_base = norm * wx[:, :, None] * wy[:, None, :]
+        w_base = jnp.where(inside, w_base, 0.0)
+
+        # ---- local spread + halo reduce
+        contrib = (
+            (w_base / (hx * hy))[..., None, None]
+            * phi_z[:, None, None, :, None]
+            * force[:, None, None, None, :]
+        )
+        m_ = pos.shape[0]
+        ix = jnp.broadcast_to(lxb[:, :, None], (m_, s, s)).reshape(-1)
+        iy = jnp.broadcast_to(gy[:, None, :], (m_, s, s)).reshape(-1)
+        ext = jnp.zeros((nx_loc + 2 * Pad, ny, nz, 3), dtype)
+        ext = ext.at[ix, iy].add(contrib.reshape(-1, nz, 3))
+        left = jax.lax.ppermute(
+            ext[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        right = jax.lax.ppermute(
+            ext[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        f = ext[Pad:-Pad]
+        f = f.at[-Pad:].add(left)
+        f = f.at[:Pad].add(right)
+
+        # ---- distributed xy FFT (ky-split, x-gather)
+        fk = jnp.fft.rfft(f, axis=1)                    # [nx_loc, nyk, ..]
+        fk = jnp.pad(fk, ((0, 0), (0, nyk_pad - nyk), (0, 0), (0, 0)))
+        fk = jax.lax.all_to_all(
+            fk, axis, split_axis=1, concat_axis=0, tiled=True
+        )                                               # [nx, nyc, nz, 3]
+        fk = jnp.fft.fft(fk, axis=0)
+
+        # ---- per-mode BVP on the local ky chunk
+        rhs = jnp.concatenate(
+            [-fk[..., 0], -fk[..., 1], -fk[..., 2],
+             jnp.zeros_like(fk[..., 0])],
+            axis=-1,
+        )                                               # [nx, nyc, 4nz]
+        for bb in range(3):
+            rhs = (
+                rhs.at[..., bb * nz].set(0.0)
+                .at[..., bb * nz + nz - 1].set(0.0)
+            )
+        ops_flat = ops_loc.transpose(1, 0, 2, 3).reshape(
+            nx * nyc, 4 * nz, 4 * nz
+        )
+        sol = jnp.einsum(
+            "kij,kj->ki", ops_flat, rhs.reshape(nx * nyc, 4 * nz)
+        ).reshape(nx, nyc, 4 * nz)
+        uk = jnp.stack(
+            [sol[..., 0:nz], sol[..., nz:2 * nz], sol[..., 2 * nz:3 * nz]],
+            axis=-1,
+        )
+
+        # ---- inverse transforms + halo extend + interpolation
+        uk = jnp.fft.ifft(uk, axis=0)
+        uk = jax.lax.all_to_all(
+            uk, axis, split_axis=0, concat_axis=1, tiled=True
+        )                                               # [nx_loc, nyk_pad,..]
+        u = jnp.fft.irfft(uk[:, :nyk], n=ny, axis=1)
+        lo = jax.lax.ppermute(
+            u[:Pad], axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        hi = jax.lax.ppermute(
+            u[-Pad:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        ue = jnp.concatenate([hi, u, lo], axis=0)
+        vals = ue[
+            jnp.broadcast_to(lxb[:, :, None], (m_, s, s)),
+            jnp.broadcast_to(gy[:, None, :], (m_, s, s)),
+        ]                                               # [m, s, s, nz, 3]
+        zquad = phi_z * w_cc[None, :]
+        vel = jnp.einsum("nab,nz,nabzc->nc", w_base, zquad, vals)
+        return vel * mask[:, None]
+
+    spec_p = P(axis)
+    mf = jax.shard_map(
+        mf_shard,
+        mesh=mesh,
+        in_specs=(spec_p, spec_p, spec_p, spec_p),
+        out_specs=spec_p,
+        check_vma=False,
+    )
+
+    def apply(pos_sh, force_sh, mask):
+        D_, m = pos_sh.shape[:2]
+        out = mf(
+            pos_sh.reshape(D_ * m, 3),
+            force_sh.reshape(D_ * m, 3),
+            mask.reshape(D_ * m),
+            ops_j,
+        )
+        return out.reshape(D_, m, 3)
+
+    return jax.jit(apply)
