@@ -122,3 +122,78 @@ def bdhi_euler_maruyama(
         ), aux
 
     return Integrator(init=init, step=step)
+
+
+def fcm_em(
+    force_fn,
+    fcm,
+    dt: float,
+    temperature: float = 0.0,
+    *,
+    slack: int = 1,
+) -> Integrator:
+    """Euler-Maruyama on the FCM backend with the fused spectral pass and
+    persistent pencil bins: one spread + one k-space combine (deterministic
+    mobility AND fluctuation) + one interpolation per step (reference:
+    FCM_impl.cuh:654-693 with addBrownianNoise :437 in the same
+    convolution), and the particle->pencil binning carried across steps,
+    rebuilt only when some particle's x/y drift exceeds ``slack`` far-grid
+    points (the pencil spread stays exact until then — solvers/pencil_ibm).
+
+    The generic ``bdhi_euler_maruyama`` + FCM pays two spectral passes and
+    two binning sorts per step; this integrator pays one pass and ~0
+    amortized sorts."""
+    amp = math.sqrt(2.0 * temperature / dt) if temperature > 0 else 0.0
+    hmin = min(fcm.box_size[0] / fcm.shape[0], fcm.box_size[1] / fcm.shape[1])
+    thr = slack * hmin
+    Ls = fcm.box_size
+
+    def init(state, aux):
+        if state.force is None:
+            state = state.replace(force=jnp.zeros_like(state.pos))
+        bins = fcm.pencil_bins(state.pos, slack=slack)
+        return state, (bins, state.pos, aux)
+
+    def _wdrift(pos, ref, d):
+        dd = pos[:, d] - ref[:, d]
+        return jnp.max(jnp.abs(dd - Ls[d] * jnp.round(dd / Ls[d])))
+
+    def step(state, carry):
+        bins, ref, aux = carry
+        h = jnp.asarray(dt, state.dtype)
+        fev, aux = force_fn(state, aux)
+        if bins is None:
+            # pencil path unavailable (small N / unsafe grid): per-call
+            if temperature > 0:
+                state, k = next_key(state)
+                mf = fcm.compute_mf_bdw(state.pos, fev.force, k, amp)
+            else:
+                mf = fcm.compute_mf(state.pos, fev.force)
+            new = (None, ref, aux)
+        else:
+            need = jnp.maximum(
+                _wdrift(state.pos, ref, 0), _wdrift(state.pos, ref, 1)
+            ) > jnp.asarray(thr, state.dtype)
+            pos = state.pos
+
+            def rebin(_):
+                return fcm.pencil_bins(pos, slack=slack), pos
+
+            def keep(_):
+                return bins, ref
+
+            bins2, ref2 = jax.lax.cond(need, rebin, keep, None)
+            if temperature > 0:
+                state, k = next_key(state)
+                mf = fcm.compute_mf_bdw(state.pos, fev.force, k, amp,
+                                        bins=bins2, slack=slack)
+            else:
+                mf = fcm.compute_mf(state.pos, fev.force, bins=bins2,
+                                    slack=slack)
+            new = (bins2, ref2, aux)
+        dx = h * mf
+        return advance_time(
+            state.replace(pos=state.pos + dx, force=fev.force), dt
+        ), new
+
+    return Integrator(init=init, step=step)
