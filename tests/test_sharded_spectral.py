@@ -167,3 +167,31 @@ def test_sharded_dpstokes_matches_single_device():
 
     err = np.abs(out - ref).max() / np.abs(ref).max()
     assert err < 1e-5, err
+
+
+def test_sharded_fcm_2d_mesh_matches_single_device():
+    """(x, y)-block decomposition on a 2x4 mesh: two-axis halo folds +
+    two-stage distributed FFT == single-device FCM."""
+    from uammd_tpu.parallel.spectral import (
+        make_mesh_2d, make_sharded_fcm_mf_2d, shard_particles_xy)
+
+    n, L, eta, a = 280, 16.0, 1.1, 0.6
+    b = box(L)
+    shape, support = (32, 48, 40), 6
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L)
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+
+    fcm = FCM(box=b, viscosity=eta, radius=a, shape=shape, support=support,
+              box_size=(L, L, L))
+    ref = np.asarray(fcm.compute_mf(pos, F))
+
+    mesh = make_mesh_2d(2, 4)
+    mf = make_sharded_fcm_mf_2d(
+        mesh, b, viscosity=eta, radius=a, shape=shape, support=support,
+    )
+    pos_sh, f_sh, mask, order = shard_particles_xy(pos, F, 2, 4, b)
+    out = np.asarray(gather_shards(mf(pos_sh, f_sh, mask), mask, order, n))
+
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err

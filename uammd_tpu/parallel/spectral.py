@@ -556,3 +556,221 @@ def make_sharded_dpstokes_mf(mesh: Mesh, dps, axis: str = "x"):
         return out.reshape(D_, m, 3)
 
     return jax.jit(apply)
+
+
+def make_mesh_2d(dx: int, dy: int, axes=("x", "y")) -> Mesh:
+    devs = jax.devices()
+    if dx * dy > len(devs):
+        raise ValueError(
+            f"requested {dx}x{dy} mesh but only {len(devs)} devices are "
+            f"visible (set XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
+    return Mesh(np.asarray(devs[: dx * dy]).reshape(dx, dy), axes)
+
+
+def shard_particles_xy(pos, values, dx, dy, box: Box):
+    """Assign particles to (x, y) blocks of a 2-D mesh: returns
+    (pos_sh [Dx*Dy, m, 3], val_sh, mask, order), block index = ix*dy + iy
+    (mesh-major). Host-side prep."""
+    pos = np.asarray(pos)
+    values = np.asarray(values)
+    Ls = np.asarray(jax.device_get(box.size))
+    fx = np.mod(pos[:, 0] / float(Ls[0]) + 0.5, 1.0)
+    fy = np.mod(pos[:, 1] / float(Ls[1]) + 0.5, 1.0)
+    owner = (
+        np.clip((fx * dx).astype(int), 0, dx - 1) * dy
+        + np.clip((fy * dy).astype(int), 0, dy - 1)
+    )
+    D = dx * dy
+    m = max(np.bincount(owner, minlength=D).max(), 1)
+    pos_sh = np.zeros((D, m, 3), pos.dtype)
+    val_sh = np.zeros((D, m) + values.shape[1:], values.dtype)
+    mask = np.zeros((D, m), bool)
+    order = np.zeros((D, m), np.int64)
+    for d in range(D):
+        idx = np.nonzero(owner == d)[0]
+        pos_sh[d, : len(idx)] = pos[idx]
+        val_sh[d, : len(idx)] = values[idx]
+        mask[d, : len(idx)] = True
+        order[d, : len(idx)] = idx
+    return (
+        jnp.asarray(pos_sh), jnp.asarray(val_sh),
+        jnp.asarray(mask), jnp.asarray(order),
+    )
+
+
+def make_sharded_fcm_mf_2d(
+    mesh: Mesh,
+    box: Box,
+    *,
+    viscosity: float = 1.0,
+    radius: float = 1.0,
+    shape: tuple,
+    support: int = 6,
+    axes=("x", "y"),
+):
+    """FCM M F on a 2-D mesh: (x, y) pencil-block grid decomposition with
+    sequential two-axis halo reduces and a two-stage distributed FFT (one
+    all-to-all per mesh axis) — the 2-D ICI torus layout (SURVEY 2.6; the
+    reference is single-GPU, this capability is the TPU build's own).
+
+    kz is padded to a multiple of Dx*Dy; after the y-axis then x-axis
+    all-to-alls each device holds the full (kx, ky) plane for its kz chunk.
+    Returns jitted apply(pos_sh, force_sh, mask) over shard_particles_xy
+    shards.
+    """
+    ax_x, ax_y = axes
+    Dx, Dy = (mesh.shape[ax_x], mesh.shape[ax_y])
+    nx, ny, nz = shape
+    assert nx % Dx == 0 and ny % Dy == 0
+    nx_loc, ny_loc = nx // Dx, ny // Dy
+    Ls = [float(s) for s in np.asarray(jax.device_get(box.size))]
+    sigma = radius / math.sqrt(math.pi)
+    h = Ls[0] / nx
+    kern = GaussianKernel(sigma=sigma / h, support=support)
+    Pad = support
+    assert Pad <= nx_loc and Pad <= ny_loc, "block thinner than the support"
+    nzr = nz // 2 + 1
+    D = Dx * Dy
+    nzr_pad = ((nzr + D - 1) // D) * D
+    kzy = nzr_pad // Dy          # chunk after the y all-to-all
+    kz_chunk = nzr_pad // D      # chunk after both
+
+    kxf = 2.0 * math.pi * np.fft.fftfreq(nx, d=Ls[0] / nx)
+    kyf = 2.0 * math.pi * np.fft.fftfreq(ny, d=Ls[1] / ny)
+    kzf = np.zeros(nzr_pad)
+    kzf[:nzr] = 2.0 * math.pi * np.fft.rfftfreq(nz, d=Ls[2] / nz)
+    kz_valid = np.zeros(nzr_pad, bool)
+    kz_valid[:nzr] = True
+
+    def mf_shard(pos, force, mask):
+        dtype = pos.dtype
+        ix = jax.lax.axis_index(ax_x)
+        iy = jax.lax.axis_index(ax_y)
+        x0 = ix * nx_loc
+        y0 = iy * ny_loc
+
+        # ---- local spread onto the (x, y)-extended block
+        idx, w, hv = _weights_and_indices(kern, pos, box, shape)
+        inv_dV = 1.0 / jnp.prod(hv)
+        lx = jnp.mod(idx[..., 0] - x0 + Pad, nx)
+        ly = jnp.mod(idx[..., 1] - y0 + Pad, ny)
+        inside = (
+            (lx < nx_loc + 2 * Pad) & (ly < ny_loc + 2 * Pad) & mask[:, None]
+        )
+        lx = jnp.where(inside, lx, 0)
+        ly = jnp.where(inside, ly, 0)
+        contrib = jnp.where(
+            inside[:, :, None], (w * inv_dV)[:, :, None] * force[:, None, :],
+            0.0,
+        )
+        ext = jnp.zeros((nx_loc + 2 * Pad, ny_loc + 2 * Pad, nz, 3), dtype)
+        ext = ext.at[lx, ly, idx[..., 2]].add(contrib)
+
+        # ---- halo reduce: x first (full extended-y rows so corners flow
+        # x -> diagonal via the subsequent y fold), then y
+        left = jax.lax.ppermute(
+            ext[:Pad], ax_x, [(i, (i - 1) % Dx) for i in range(Dx)]
+        )
+        right = jax.lax.ppermute(
+            ext[-Pad:], ax_x, [(i, (i + 1) % Dx) for i in range(Dx)]
+        )
+        ext = ext[Pad:-Pad]
+        ext = ext.at[-Pad:].add(left)
+        ext = ext.at[:Pad].add(right)
+        down = jax.lax.ppermute(
+            ext[:, :Pad], ax_y, [(i, (i - 1) % Dy) for i in range(Dy)]
+        )
+        up = jax.lax.ppermute(
+            ext[:, -Pad:], ax_y, [(i, (i + 1) % Dy) for i in range(Dy)]
+        )
+        f = ext[:, Pad:-Pad]
+        f = f.at[:, -Pad:].add(down)
+        f = f.at[:, :Pad].add(up)
+
+        # ---- distributed FFT: z local, gather y (split kz), gather x
+        fk = jnp.fft.rfft(f, axis=2)                  # [nxl, nyl, nzr, 3]
+        fk = jnp.pad(fk, ((0, 0), (0, 0), (0, nzr_pad - nzr), (0, 0)))
+        fk = jax.lax.all_to_all(
+            fk, ax_y, split_axis=2, concat_axis=1, tiled=True
+        )                                             # [nxl, ny, kzy, 3]
+        fk = jnp.fft.fft(fk, axis=1)
+        fk = jax.lax.all_to_all(
+            fk, ax_x, split_axis=2, concat_axis=0, tiled=True
+        )                                             # [nx, ny, kz_chunk, 3]
+        fk = jnp.fft.fft(fk, axis=0)
+
+        # ---- wave-space projector on the local kz chunk
+        kz0 = iy * kzy + ix * kz_chunk
+        kx = jnp.asarray(kxf, dtype)[:, None, None]
+        ky = jnp.asarray(kyf, dtype)[None, :, None]
+        kz = jax.lax.dynamic_slice(
+            jnp.asarray(kzf, dtype), (kz0,), (kz_chunk,)
+        )[None, None, :]
+        valid = jax.lax.dynamic_slice(
+            jnp.asarray(kz_valid), (kz0,), (kz_chunk,)
+        )[None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
+        k2s = jnp.where(k2 > 0, k2, 1.0)
+        kdotf = kx * fk[..., 0] + ky * fk[..., 1] + kz * fk[..., 2]
+        scale = jnp.where(valid & (k2 > 0), 1.0 / (viscosity * k2s), 0.0)
+        uk = jnp.stack(
+            [
+                scale * (fk[..., 0] - kx * kdotf / k2s),
+                scale * (fk[..., 1] - ky * kdotf / k2s),
+                scale * (fk[..., 2] - kz * kdotf / k2s),
+            ],
+            axis=-1,
+        )
+
+        # ---- inverse path (mirror)
+        uk = jnp.fft.ifft(uk, axis=0)
+        uk = jax.lax.all_to_all(
+            uk, ax_x, split_axis=0, concat_axis=2, tiled=True
+        )                                             # [nxl, ny, kzy, 3]
+        uk = jnp.fft.ifft(uk, axis=1)
+        uk = jax.lax.all_to_all(
+            uk, ax_y, split_axis=1, concat_axis=2, tiled=True
+        )                                             # [nxl, nyl, nzr_pad, 3]
+        u = jnp.fft.irfft(uk[:, :, :nzr], n=nz, axis=2)
+
+        # ---- halo extend (y inside x so corners arrive) + interpolation
+        dn = jax.lax.ppermute(
+            u[:, :Pad], ax_y, [(i, (i - 1) % Dy) for i in range(Dy)]
+        )
+        up2 = jax.lax.ppermute(
+            u[:, -Pad:], ax_y, [(i, (i + 1) % Dy) for i in range(Dy)]
+        )
+        u = jnp.concatenate([up2, u, dn], axis=1)
+        lo = jax.lax.ppermute(
+            u[:Pad], ax_x, [(i, (i - 1) % Dx) for i in range(Dx)]
+        )
+        hi = jax.lax.ppermute(
+            u[-Pad:], ax_x, [(i, (i + 1) % Dx) for i in range(Dx)]
+        )
+        ue = jnp.concatenate([hi, u, lo], axis=0)
+        vals = ue[lx, ly, idx[..., 2]]
+        vel = jnp.sum(
+            jnp.where(inside[:, :, None], w[:, :, None] * vals, 0.0), axis=1
+        )
+        return vel * mask[:, None]
+
+    spec_p = P((ax_x, ax_y))
+    mf = jax.shard_map(
+        mf_shard,
+        mesh=mesh,
+        in_specs=(spec_p, spec_p, spec_p),
+        out_specs=spec_p,
+        check_vma=False,
+    )
+
+    def apply(pos_sh, force_sh, mask):
+        D_, m = pos_sh.shape[:2]
+        out = mf(
+            pos_sh.reshape(D_ * m, 3),
+            force_sh.reshape(D_ * m, 3),
+            mask.reshape(D_ * m),
+        )
+        return out.reshape(D_, m, 3)
+
+    return jax.jit(apply)
