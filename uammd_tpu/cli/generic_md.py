@@ -232,10 +232,13 @@ def main(argv=None):
         n_steps, st.n, elapsed, n_steps * st.n / elapsed,
     )
     if outfile and len(frames):
-        with open(outfile, "w") as fh:
-            for f in frames:
-                fh.write(f"#\n")
-                np.savetxt(fh, f)
+        from ..utils.trajectory import write_frame
+
+        # native fastio path when a compiler is available (C frame
+        # formatting + single fwrite), numpy fallback otherwise
+        open(outfile, "wb").close()
+        for f in frames:
+            write_frame(outfile, f, box=b, append=True)
         log.message("wrote %d frames to %s", len(frames), outfile)
     log.message("final T = %.4f", float(jax.device_get(measure_T(st))))
     return 0
