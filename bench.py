@@ -146,33 +146,68 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
 
     from functools import partial
 
-    # persistent binning (near pid layout + far pencil bins) carried in the
-    # scan: rebinned on the drift criteria instead of every step
-    st0 = jax.jit(be.em_state)(pos)
+    use_persistent = os.environ.get("BENCH_PSE_PERSISTENT", "1") != "0"
+    if use_persistent:
+        try:
+            # persistent binning (near pid layout + far pencil bins)
+            # carried in the scan: rebinned on drift, not every step
+            st0 = jax.jit(be.em_state)(pos)
 
-    @partial(jax.jit, static_argnums=3)
-    def run(p, st, key, nsteps):
+            @partial(jax.jit, static_argnums=3)
+            def run_p(p, st, key, nsteps):
+                def body(carry, _):
+                    p, st, k = carry
+                    k, sub = jax.random.split(k)
+                    dx, _f, st = be.displacement_with_pair_force_persistent(
+                        force_slots, p, sub, dt, temperature, st
+                    )
+                    p = b.wrap_position(p + dx)
+                    return (p, st, k), None
+                (p, st, k), _ = jax.lax.scan(
+                    body, (p, st, key), None, length=nsteps
+                )
+                return p, st
+
+            key = jax.random.key(0)
+            # warm up with the SAME static step count: run() compiles per
+            # nsteps; a different warmup length puts compile in the timing
+            p, st = run_p(pos, st0, key, steps)
+            sync(p)
+            t0 = time.perf_counter()
+            p, st = run_p(p, st, jax.random.fold_in(key, 1), steps)
+            sync(p)
+            dt_s = (time.perf_counter() - t0) / steps
+            if bool(jax.device_get(st.overflow)):
+                print(json.dumps(
+                    {"warning": "pse overflow during timed phase"}))
+            return n / dt_s
+        except Exception as e:  # pragma: no cover - HW-specific safety net
+            print(json.dumps({
+                "warning": f"persistent PSE path failed "
+                           f"({type(e).__name__}); falling back",
+            }))
+
+    @partial(jax.jit, static_argnums=2)
+    def run(p, key, nsteps):
         def body(carry, _):
-            p, st, k = carry
+            p, k = carry
             k, sub = jax.random.split(k)
-            dx, _f, st = be.displacement_with_pair_force_persistent(
-                force_slots, p, sub, dt, temperature, st
+            dx, _f, ovf = be.displacement_with_pair_force(
+                force_slots, p, sub, dt, temperature
             )
             p = b.wrap_position(p + dx)
-            return (p, st, k), None
-        (p, st, k), _ = jax.lax.scan(body, (p, st, key), None, length=nsteps)
-        return p, st
+            return (p, k), ovf
+        (p, k), ovf = jax.lax.scan(body, (p, key), None, length=nsteps)
+        return p, jax.numpy.any(ovf)
 
     key = jax.random.key(0)
-    # warm up with the SAME static step count: run() compiles per nsteps,
-    # so a different warmup length would put the compile inside the timing
-    p, st = run(pos, st0, key, steps)
+    p, ovf = run(pos, key, steps)
     sync(p)
     t0 = time.perf_counter()
-    p, st = run(p, st, jax.random.fold_in(key, 1), steps)
+    p, ovf = run(p, jax.random.fold_in(key, 1), steps)
     sync(p)
     dt_s = (time.perf_counter() - t0) / steps
-    if bool(jax.device_get(st.overflow)):
+    if bool(jax.device_get(ovf)):
         print(json.dumps({"warning": "pse overflow during timed phase"}))
     return n / dt_s
 
