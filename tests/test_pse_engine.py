@@ -388,3 +388,33 @@ def test_persistent_em_rebins_on_drift():
     # no movement: state untouched
     _cg, _bins, st2 = be._refresh(st0, pos)
     assert np.array_equal(np.asarray(st2.pid), np.asarray(st0.pid))
+
+
+@pytest.mark.slow
+def test_tolerance_driven_far_support(system):
+    """support=None derives the far Gaussian support from tolerance (the
+    reference's tolerance-driven spreading support); tighter tolerance ->
+    wider support -> tighter split invariance."""
+    b, pos, F = system
+    loose = PSEGrid.create(b, pos.shape[0], radius=1.0, xi=0.5,
+                           tolerance=1e-3, support=None)
+    tight = PSEGrid.create(b, pos.shape[0], radius=1.0, xi=0.5,
+                           tolerance=1e-6, support=None)
+    assert tight.far.support > loose.far.support, (
+        loose.far.support, tight.far.support,
+    )
+    # split invariance (the PSE defining property) must improve with the
+    # tolerance-driven support: compare xi=0.5 vs xi=0.35 at both settings
+    def split_err(tol):
+        a = PSEGrid.create(b, pos.shape[0], radius=1.0, xi=0.5,
+                           tolerance=tol, support=None)
+        c = PSEGrid.create(b, pos.shape[0], radius=1.0, xi=0.35,
+                           tolerance=tol, support=None)
+        va = np.asarray(a.compute_mf(pos, F))
+        vc = np.asarray(c.compute_mf(pos, F))
+        return np.sqrt(((va - vc) ** 2).mean() / (va ** 2).mean())
+
+    e_loose = split_err(1e-3)
+    e_tight = split_err(1e-6)
+    assert e_tight < e_loose
+    assert e_tight < 2e-3, (e_loose, e_tight)

@@ -105,7 +105,7 @@ class PSEGrid:
         xi: float | None = None,
         tolerance: float = 1e-4,
         points_per_width: float = 1.1,
-        support: int = 8,
+        support: int | None = 8,
         deg: int = 12,
         lanczos_iterations: int = 12,
         cap: int | None = None,
@@ -121,7 +121,23 @@ class PSEGrid:
         ``n_strag`` (with ``pos``) enables the straggler occupancy split:
         CAP shrinks to the bulk quantile and the tail rides in a dense [S]
         side list through the channel kernel's broadcast block — CAP^2
-        drives the near-field cost, so this is the main matvec knob."""
+        drives the near-field cost, so this is the main matvec knob.
+
+        ``support=None`` picks the far-field Gaussian support from
+        ``tolerance`` (the reference's tolerance-driven spreading support,
+        src/Integrator/BDHI/PSE/ initialization + NearField.cuh
+        tabulation tolerance): the truncated tail at support/2 points is
+        held below tolerance. The fixed default 8 is the documented perf
+        tier (~0.5-1% far truncation at points_per_width 1.1); the pencil
+        spread stays scatter-free up to support 16."""
+        if support is None:
+            # kernel width in grid units is points_per_width by
+            # construction (h = sigma_split / ppw); Gaussian mass beyond
+            # s/2 ~ exp(-(s/2)^2 / (2 ppw^2)) <= tolerance
+            support = 2 * math.ceil(
+                points_per_width * math.sqrt(2.0 * math.log(1.0 / tolerance))
+            )
+            support = int(min(16, max(6, support)))
         Ls = [float(s) for s in jax.device_get(box.size)]
         if far_grid is not None:
             # FCM.create picks grid = ceil(L * ppw / sigma_split) per axis;
