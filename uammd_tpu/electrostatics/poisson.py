@@ -64,10 +64,37 @@ class Poisson:
         h = self.box_size[0] / self.shape[0]
         return GaussianKernel(sigma=self.gw / h, support=self.support)
 
+    def _spread_interp(self, pos):
+        """(spread_fn, interp_fn) sharing ONE pencil binning for the whole
+        solve (spread + the phi/E interpolation — the FCM pattern,
+        integrators/bdhi/fcm.py); auto-dispatch fallback otherwise."""
+        from ..solvers.ibm import _poison
+        from ..solvers.pencil_ibm import (
+            bin_pencils, interpolate_pencil, pencil_ok, spread_pencil)
+
+        if pos.shape[0] >= 4096 and pencil_ok(self.shape, self.support):
+            bins = bin_pencils(pos, self.shape, self.box)
+
+            def sp(kern, p, vals):
+                f, ovf = spread_pencil(kern, p, vals, self.shape, self.box,
+                                       bins)
+                return _poison(f, ovf)
+
+            def it(kern, p, field):
+                v, ovf = interpolate_pencil(kern, p, field, self.box, bins)
+                return _poison(v, ovf)
+
+            return sp, it
+        return (
+            lambda kern, p, vals: spread(kern, p, vals, self.shape, self.box),
+            lambda kern, p, field: interpolate(kern, p, field, self.box),
+        )
+
     def fields(self, pos, charge):
         """Return (phi_i, E_i): potential and field at particle positions."""
         kern = self._kernel()
-        rho = spread(kern, pos, charge, self.shape, self.box)
+        sp, it = self._spread_interp(pos)
+        rho = sp(kern, pos, charge)
         rho_k = jnp.fft.rfftn(rho)
         Ls = self.box_size
         ks = [
@@ -84,9 +111,9 @@ class Poisson:
         phi = jnp.fft.irfftn(phi_k, s=self.shape)
         e_k = jnp.stack([-1j * kx * phi_k, -1j * ky * phi_k, -1j * kz * phi_k], -1)
         E = jnp.fft.irfftn(e_k, s=self.shape, axes=(0, 1, 2))
-        phi_i = interpolate(kern, pos, phi, self.box)
-        E_i = interpolate(kern, pos, E, self.box)
-        return phi_i, E_i
+        # one 4-channel interpolation (phi, Ex, Ey, Ez) over the shared bins
+        out = it(kern, pos, jnp.concatenate([phi[..., None], E], axis=-1))
+        return out[:, 0], out[:, 1:4]
 
     def sum(
         self,
