@@ -153,3 +153,44 @@ def test_dpslab_z_force_decays_outside_range():
     np.testing.assert_allclose(
         float(fev.force[0, 2]), -float(fev.force[1, 2]), rtol=1e-4
     )
+
+
+def test_dpstokes_pencil_spread_matches_direct():
+    """The xy-pencil MXU spread/interp path (engaged at N >= 4096 on
+    pencil-safe grids, Chebyshev z_weights) matches the direct scatter to
+    the xy-Gaussian truncation tail."""
+    import numpy as np
+
+    from uammd_tpu.integrators.bdhi.dpstokes import DPStokes
+
+    n, L, H = 4300, 32.0, 10.0
+    b = box([L, L, H])
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(np.column_stack([
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * 0.7 * H,
+    ]), jnp.float64)
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+    dps = DPStokes.create(b, viscosity=1.0, radius=0.8,
+                          points_per_radius=2.0, nz=20, mode="slit")
+    ctx = dps._pencil_ctx(pos)
+    assert ctx is not None, (dps.shape, dps.support)
+
+    f_fast = np.asarray(dps.spread(pos, F))
+    f_ref = np.asarray(dps.spread(pos, F, ctx=False))
+    scale = np.abs(f_ref).max()
+    # bound = summed xy-Gaussian truncation tail (exp(-(s/2)^2/2 sigma_g^2)
+    # per term ~ 5e-5 of peak; a few contributions add coherently)
+    assert np.abs(f_fast - f_ref).max() / scale < 5e-4
+
+    u = jnp.asarray(rng.normal(size=f_ref.shape))
+    v_fast = np.asarray(dps.interpolate(pos, u))
+    v_ref = np.asarray(dps.interpolate(pos, u, ctx=False))
+    vs = np.abs(v_ref).max()
+    assert np.abs(v_fast - v_ref).max() / vs < 5e-4
+
+    mf_fast = np.asarray(dps.compute_mf(pos, F))
+    mf_ref = np.asarray(dps.compute_mf(pos, F, ctx=False))
+    ms = np.abs(mf_ref).max()
+    assert np.abs(mf_fast - mf_ref).max() / ms < 5e-4

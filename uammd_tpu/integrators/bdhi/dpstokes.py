@@ -172,10 +172,16 @@ class DPStokes:
                nz=None, support=10, mode="slit"):
         assert mode in ("slit", "bottom", "open"), mode
         Ls = [float(s) for s in jax.device_get(box.size)]
+        nominal = [max(16, int(L * points_per_radius / radius))
+                   for L in Ls[:2]]
+        # xy multiples of 8 keep large-N spreads on the pencil MXU path;
+        # scale support with any grid rounding so the physical truncation
+        # radius is preserved (the fcm.FCM.create rule)
         shape = tuple(
-            next_fft_size(max(16, int(L * points_per_radius / radius)))
-            for L in Ls[:2]
+            next_fft_size(n0, pencil_safe=support <= 16) for n0 in nominal
         )
+        ratio = max(sh / n0 for sh, n0 in zip(shape, nominal))
+        support = int(2 * math.ceil(support * ratio / 2.0))
         if nz is None:
             nz = max(16, int(Ls[2] * points_per_radius / radius) + 1)
         kx = 2 * math.pi * np.fft.fftfreq(shape[0], d=Ls[0] / shape[0])
@@ -230,8 +236,47 @@ class DPStokes:
         )
         return phi, w  # [N, nz], [nz]
 
-    def spread(self, pos, forces):
+    def _pencil_ctx(self, pos):
+        """(kern, bins) for the xy-pencil MXU spread path at large N on
+        pencil-safe square-cell grids (solvers/pencil_ibm with Chebyshev
+        z_weights), else None.  The pencil path truncates the xy Gaussian
+        at support/2 points (~5e-5 relative tail at the default support
+        10; a few tail terms can add coherently to ~2e-4 of the field
+        peak), which the untruncated direct scatter does not — at the
+        solver's own kernel-accuracy level."""
+        from ...solvers.ibm import GaussianKernel
+        from ...solvers.pencil_ibm import bin_pencils, pencil_ok
+
+        nx, ny = self.shape
+        hx = self.box_size[0] / nx
+        hy = self.box_size[1] / ny
+        if (
+            pos.shape[0] < 4096
+            or abs(hx - hy) > 1e-9 * hx
+            or not pencil_ok((nx, ny, self.nz), self.support)
+        ):
+            return None
+        kern = GaussianKernel(sigma=self.sigma / hx, support=self.support)
+        return kern, bin_pencils(pos, (nx, ny, self.nz), self.box)
+
+    def spread(self, pos, forces, ctx=None):
         """-> f_grid [nx, ny, nz, 3] (force density)."""
+        from ...solvers.ibm import _poison
+        from ...solvers.pencil_ibm import spread_pencil
+
+        if ctx is None:
+            ctx = self._pencil_ctx(pos)
+        if ctx:  # ctx=False forces the direct scatter path
+            kern, bins = ctx
+            phi_z, _ = self._z_weights(pos, forces.dtype)
+            hx = self.box_size[0] / self.shape[0]
+            hy = self.box_size[1] / self.shape[1]
+            field, ovf = spread_pencil(
+                kern, pos, forces, (self.shape[0], self.shape[1], self.nz),
+                self.box, bins, z_weights=phi_z,
+                density_scale=1.0 / (hx * hy),
+            )
+            return _poison(field, ovf)
         dtype = forces.dtype
         nx, ny = self.shape
         gx, gy, wx, wy, norm = self._xy_weights(pos, dtype)
@@ -251,7 +296,20 @@ class DPStokes:
         field = field.at[ix, iy].add(contrib.reshape(-1, self.nz, 3))
         return field
 
-    def interpolate(self, pos, field):
+    def interpolate(self, pos, field, ctx=None):
+        from ...solvers.ibm import _poison
+        from ...solvers.pencil_ibm import interpolate_pencil
+
+        if ctx is None:
+            ctx = self._pencil_ctx(pos)
+        if ctx:  # ctx=False forces the direct gather path
+            kern, bins = ctx
+            phi_z, w_cc = self._z_weights(pos, field.dtype)
+            out, ovf = interpolate_pencil(
+                kern, pos, field, self.box, bins,
+                z_weights=phi_z * w_cc[None, :],
+            )
+            return _poison(out, ovf)
         dtype = field.dtype
         gx, gy, wx, wy, norm = self._xy_weights(pos, dtype)
         phi_z, w_cc = self._z_weights(pos, dtype)
@@ -367,22 +425,27 @@ class DPStokes:
         )
         return jnp.fft.irfftn(uk, s=self.shape, axes=(0, 1))
 
-    def compute_mf(self, pos, forces, torques=None):
+    def compute_mf(self, pos, forces, torques=None, ctx=None):
         """M F (and, with torques, the full grand-mobility product
         -> (v, omega); reference: DPStokes::Mdot with forces and torques,
-        DPStokesSlab.cuh:141)."""
-        f_grid = self.spread(pos, forces)
+        DPStokesSlab.cuh:141). One pencil binning serves the spread and
+        the interpolation (ctx from _pencil_ctx, built here if omitted)."""
+        if ctx is None:
+            ctx = self._pencil_ctx(pos)
+        f_grid = self.spread(pos, forces, ctx=ctx)
         if torques is not None:
             f_grid = f_grid + self.spread_torque(pos, torques)
         u = self.solve_grid(f_grid)
-        v = self.interpolate(pos, u)
+        v = self.interpolate(pos, u, ctx=ctx)
         if torques is None:
             return v
         return v, self.interpolate_angular(pos, u)
 
     def compute_bdw(self, pos, key, iterations: int = 24):
+        ctx = self._pencil_ctx(pos)
+
         def mv(x):
-            return self.compute_mf(pos, x.reshape(-1, 3)).reshape(-1)
+            return self.compute_mf(pos, x.reshape(-1, 3), ctx=ctx).reshape(-1)
 
         z = jax.random.normal(key, (pos.shape[0] * 3,), pos.dtype)
         out, _ = lanczos_sqrt_apply(mv, z, m=iterations)

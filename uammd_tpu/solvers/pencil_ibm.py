@@ -183,7 +183,7 @@ def _chunked(fn, args, npen, chunk):
 
 
 def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
-                  *, chunk=64, slack=0):
+                  *, chunk=64, slack=0, z_weights=None, density_scale=None):
     """S: values [N] or [N, C] -> field [nx, ny, nz(, C)] over shared bins.
 
     Returns (field, overflow).  Same 1/dV density normalization as
@@ -193,7 +193,14 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
     exact for particles that drifted up to slack*h in x/y since ``bins``
     was built (z is evaluated densely — z drift never matters), enabling
     persistent bins across integrator steps.  The CALLER owns the rebin
-    criterion: max |x,y drift| < slack*h."""
+    criterion: max |x,y drift| < slack*h.
+
+    ``z_weights`` ([N, nz]) replaces the kernel's separable z factor with
+    caller-provided per-particle weights — the doubly periodic solvers'
+    Chebyshev-z Gaussians (DPStokes/DPPoissonSlab) ride the same xy-pencil
+    MXU path this way. ``density_scale`` then overrides the default
+    1/(hx hy hz) (use 1/(hx hy) when z_weights already carry the z
+    normalization)."""
     squeeze = values.ndim == 1
     if squeeze:
         values = values[:, None]
@@ -209,7 +216,8 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
     nz = shape[2]
     dtype = values.dtype
     h = box.size.astype(dtype) / jnp.asarray(shape, dtype)
-    inv_dV = 1.0 / (h[0] * h[1] * h[2])
+    inv_dV = (1.0 / (h[0] * h[1] * h[2]) if density_scale is None
+              else jnp.asarray(density_scale, dtype))
 
     u = _node_coords(pos, shape, box).astype(dtype)
     mask = bins.pids > 0
@@ -217,14 +225,18 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
     pu = u[src]                                            # [npen, cap, 3]
     pv = jnp.where(mask[..., None], values[src], 0)        # [npen, cap, C]
     ox, oy = _pencil_origins(npx, npy, halo, dtype)
+    zw = None if z_weights is None else z_weights[src]     # [npen, cap, nz]
 
     def do(args):
-        pu_c, pv_c, ox_c, oy_c = args
+        if z_weights is None:
+            pu_c, pv_c, ox_c, oy_c = args
+            wz = _axis_weights(kernel, pu_c[:, :, 2:3], 0.0, nz, shape[2])
+        else:
+            pu_c, pv_c, ox_c, oy_c, wz = args
         wx = _axis_weights(kernel, pu_c[:, :, 0:1], ox_c[:, None, None],
                            P, shape[0])
         wy = _axis_weights(kernel, pu_c[:, :, 1:2], oy_c[:, None, None],
                            P, shape[1])
-        wz = _axis_weights(kernel, pu_c[:, :, 2:3], 0.0, nz, shape[2])
         wxy = (wx[:, :, :, None] * wy[:, :, None, :]).reshape(
             wx.shape[0], -1, P * P
         )
@@ -234,7 +246,8 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
         return jnp.einsum("scp,scq->spq", wxy, q,
                           preferred_element_type=dtype)
 
-    patch = _chunked(do, (pu, pv, ox, oy), npen, chunk)    # [npen, P*P, nz*C]
+    args = (pu, pv, ox, oy) if zw is None else (pu, pv, ox, oy, zw)
+    patch = _chunked(do, args, npen, chunk)                # [npen, P*P, nz*C]
     patch = patch.reshape(npx, npy, P, P, nz, C)
     patch = _fold(patch, halo, axis_p=0, axis_j=2)         # [npx,npy,8,P,..]
     patch = _fold(patch, halo, axis_p=1, axis_j=3)         # [npx,npy,8,8,..]
@@ -245,9 +258,10 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
 
 
 def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
-                       *, chunk=64, slack=0):
+                       *, chunk=64, slack=0, z_weights=None):
     """J = S*: field [nx, ny, nz(, C)] -> [N(, C)] over shared bins.
-    ``slack`` as in spread_pencil (drift tolerance for persistent bins)."""
+    ``slack``/``z_weights`` as in spread_pencil (pass quadrature-weighted
+    z_weights for Chebyshev-z interpolation)."""
     squeeze = field.ndim == 3
     if squeeze:
         field = field[..., None]
@@ -269,6 +283,7 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
     src = jnp.maximum(bins.pids - 1, 0)
     pu = u[src]                                            # [npen, cap, 3]
     ox, oy = _pencil_origins(npx, npy, halo, dtype)
+    zw = None if z_weights is None else z_weights[src]     # [npen, cap, nz]
 
     # window per pencil: [npx, npy, P, P, nz, C] built from rolls
     ft = field.reshape(npx, PENCIL, npy, PENCIL, nz, C).transpose(
@@ -292,12 +307,15 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
     ).reshape(npen, P * P, nz * C)
 
     def do(args):
-        pu_c, win_c, ox_c, oy_c = args
+        if z_weights is None:
+            pu_c, win_c, ox_c, oy_c = args
+            wz = _axis_weights(kernel, pu_c[:, :, 2:3], 0.0, nz, shape[2])
+        else:
+            pu_c, win_c, ox_c, oy_c, wz = args
         wx = _axis_weights(kernel, pu_c[:, :, 0:1], ox_c[:, None, None],
                            P, shape[0])
         wy = _axis_weights(kernel, pu_c[:, :, 1:2], oy_c[:, None, None],
                            P, shape[1])
-        wz = _axis_weights(kernel, pu_c[:, :, 2:3], 0.0, nz, shape[2])
         wxy = (wx[:, :, :, None] * wy[:, :, None, :]).reshape(
             wx.shape[0], -1, P * P
         )
@@ -307,7 +325,8 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
         return jnp.einsum("scz,sczk->sck", wz, a,
                           preferred_element_type=dtype)
 
-    v = _chunked(do, (pu, win, ox, oy), npen, chunk)       # [npen, cap, C]
+    args = (pu, win, ox, oy) if zw is None else (pu, win, ox, oy, zw)
+    v = _chunked(do, args, npen, chunk)                    # [npen, cap, C]
     out = v.reshape(-1, C)[bins.slot_of_pid]
     # particles dropped by an overflow read a stale slot — poisoning is the
     # caller's job via the returned flag (spread_auto/_poison idiom)
