@@ -194,3 +194,33 @@ def test_dpstokes_pencil_spread_matches_direct():
     mf_ref = np.asarray(dps.compute_mf(pos, F, ctx=False))
     ms = np.abs(mf_ref).max()
     assert np.abs(mf_fast - mf_ref).max() / ms < 5e-4
+
+
+def test_slab_grid_pencil_matches_direct():
+    """SlabGrid's xy-pencil path (DPPoissonSlab's spreading) matches the
+    direct scatter to the truncation tail."""
+    import numpy as np
+
+    from uammd_tpu.solvers.slab_grid import SlabGrid
+
+    n, L, H = 4300, 24.0, 8.0
+    rng = np.random.default_rng(13)
+    pos = jnp.asarray(np.column_stack([
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * L,
+        (rng.random(n) - 0.5) * 0.6 * H,
+    ]), jnp.float64)
+    q = jnp.asarray(rng.normal(size=(n,)))
+    sg = SlabGrid(shape=(48, 48), nz=20, box_size=(L, L, H), sigma=0.5,
+                  support=10)
+    ctx = sg.pencil_ctx(pos)
+    assert ctx is not None
+
+    f_fast = np.asarray(sg.spread(pos, q))
+    f_ref = np.asarray(sg.spread(pos, q, ctx=False))
+    assert np.abs(f_fast - f_ref).max() / np.abs(f_ref).max() < 5e-4
+
+    u = jnp.asarray(rng.normal(size=(48, 48, 20)))
+    v_fast = np.asarray(sg.interpolate(pos, u))
+    v_ref = np.asarray(sg.interpolate(pos, u, ctx=False))
+    assert np.abs(v_fast - v_ref).max() / np.abs(v_ref).max() < 5e-4

@@ -119,10 +119,15 @@ class DPPoissonSlab:
                support=10, eps_top=None, eps_bottom=None,
                sigma_top=0.0, sigma_bottom=0.0):
         Ls = [float(s) for s in jax.device_get(box.size)]
+        nominal = [max(16, int(L * points_per_gw / gw)) for L in Ls[:2]]
+        # xy multiples of 8 keep large-N spreads on the pencil MXU path;
+        # scale support with the rounding so the physical truncation
+        # radius is preserved (the fcm.FCM.create rule)
         shape = tuple(
-            next_fft_size(max(16, int(L * points_per_gw / gw)))
-            for L in Ls[:2]
+            next_fft_size(n0, pencil_safe=support <= 16) for n0 in nominal
         )
+        ratio = max(sh / n0 for sh, n0 in zip(shape, nominal))
+        support = int(2 * math.ceil(support * ratio / 2.0))
         if nz is None:
             nz = max(24, int(Ls[2] * points_per_gw / gw) + 1)
         kx = 2 * math.pi * np.fft.fftfreq(shape[0], d=Ls[0] / shape[0])
@@ -151,7 +156,9 @@ class DPPoissonSlab:
 
     def fields(self, pos, charge):
         dtype = pos.dtype
-        rho = self.grid.spread(pos, charge)  # [nx, ny, nz]
+        # one pencil binning serves the spread and the fused interpolation
+        ctx = self.grid.pencil_ctx(pos)
+        rho = self.grid.spread(pos, charge, ctx=ctx)  # [nx, ny, nz]
         rho_k = jnp.fft.rfftn(rho, axes=(0, 1))  # [nx, nyk, nz]
         nx, nyk = rho_k.shape[0], rho_k.shape[1]
         rhs = -rho_k / self.epsilon
@@ -189,9 +196,10 @@ class DPPoissonSlab:
             ],
             axis=-1,
         )
-        phi_i = self.grid.interpolate(pos, phi)
-        E_i = self.grid.interpolate(pos, E)
-        return phi_i, E_i
+        out = self.grid.interpolate(
+            pos, jnp.concatenate([phi[..., None], E], axis=-1), ctx=ctx
+        )
+        return out[:, 0], out[:, 1:4]
 
     def sum(self, pos, charge, computables: Computables = Computables()):
         phi_i, E_i = self.fields(pos, charge)

@@ -63,13 +63,51 @@ class SlabGrid:
         )
         return phi, w
 
-    def spread(self, pos, values):
+    def pencil_ctx(self, pos):
+        """(kern, bins, box) for the xy-pencil MXU path (solvers/pencil_ibm
+        with Chebyshev z_weights) at large N on pencil-safe square-cell
+        grids, else None.  Exact up to the xy-Gaussian truncation at
+        support/2 points (the direct scatter does not truncate)."""
+        from ..core.box import box as make_box
+        from .ibm import GaussianKernel
+        from .pencil_ibm import bin_pencils, pencil_ok
+
+        nx, ny = self.shape
+        hx = self.box_size[0] / nx
+        hy = self.box_size[1] / ny
+        if (
+            pos.shape[0] < 4096
+            or abs(hx - hy) > 1e-9 * hx
+            or not pencil_ok((nx, ny, self.nz), self.support)
+        ):
+            return None
+        kern = GaussianKernel(sigma=self.sigma / hx, support=self.support)
+        b = make_box(list(self.box_size), dtype=pos.dtype)
+        return kern, bin_pencils(pos, (nx, ny, self.nz), b), b
+
+    def spread(self, pos, values, ctx=None):
         """values [N, C] -> density field [nx, ny, nz, C]."""
         squeeze = values.ndim == 1
         if squeeze:
             values = values[:, None]
         dtype = values.dtype
         nx, ny = self.shape
+        if ctx is None:
+            ctx = self.pencil_ctx(pos)
+        if ctx:  # ctx=False forces the direct scatter path
+            from .ibm import _poison
+            from .pencil_ibm import spread_pencil
+
+            kern, bins, b = ctx
+            phi_z, _ = self._z(pos, dtype)
+            hx = self.box_size[0] / nx
+            hy = self.box_size[1] / ny
+            field, ovf = spread_pencil(
+                kern, pos, values, (nx, ny, self.nz), b, bins,
+                z_weights=phi_z, density_scale=1.0 / (hx * hy),
+            )
+            field = _poison(field, ovf)
+            return field[..., 0] if squeeze else field
         hx = self.box_size[0] / nx
         hy = self.box_size[1] / ny
         gx, gy, w_xy = self._xy(pos, dtype)
@@ -88,12 +126,26 @@ class SlabGrid:
         out = field
         return out[..., 0] if squeeze else out
 
-    def interpolate(self, pos, field):
+    def interpolate(self, pos, field, ctx=None):
         squeeze = field.ndim == 3
         if squeeze:
             field = field[..., None]
         dtype = field.dtype
         nx, ny = self.shape
+        if ctx is None:
+            ctx = self.pencil_ctx(pos)
+        if ctx:  # ctx=False forces the direct gather path
+            from .ibm import _poison
+            from .pencil_ibm import interpolate_pencil
+
+            kern, bins, b = ctx
+            phi_z, w_cc = self._z(pos, dtype)
+            out, ovf = interpolate_pencil(
+                kern, pos, field, b, bins,
+                z_weights=phi_z * w_cc[None, :],
+            )
+            out = _poison(out, ovf)
+            return out[:, 0] if squeeze else out
         hx = self.box_size[0] / nx
         hy = self.box_size[1] / ny
         gx, gy, w_xy = self._xy(pos, dtype)
