@@ -25,7 +25,9 @@ import numpy as np
 
 from ...core.box import Box
 from ...core.state import next_key
-from ...solvers.ibm import Peskin3pt, Peskin4pt, interpolate, spread
+from ...solvers.ibm import (Peskin3pt, Peskin4pt,
+                            interpolate_auto as interpolate,
+                            spread_auto as spread)
 from ..base import Integrator, advance_time
 from .fcm import _wavevectors
 

@@ -35,7 +35,9 @@ import numpy as np
 from ...core.box import Box
 from ...core.state import SimState, next_key
 from ...core.types import ForceEnergyVirial
-from ...solvers.ibm import Peskin3pt, interpolate, spread
+from ...solvers.ibm import (Peskin3pt,
+                            interpolate_auto as interpolate,
+                            spread_auto as spread)
 from ..base import Integrator, advance_time
 
 
