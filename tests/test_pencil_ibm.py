@@ -162,3 +162,46 @@ def test_pencil_slack_staleness_exact():
     v_ref = interpolate(kern, pos1, u, b)
     v_p, _ = interpolate_pencil(kern, pos1, u, b, bins, slack=1)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref), atol=1e-12)
+
+
+def test_quasi2d_pencil_matches_direct(monkeypatch):
+    """quasi2d's 2D spread/interp ride the pencil path (degenerate nz=1,
+    unit z-weights) at large N; force the dispatch at small N and check
+    exact agreement with the direct 2D scatter."""
+    import uammd_tpu.integrators.bdhi.quasi2d as q2d
+
+    rng = np.random.default_rng(3)
+    N, L = 300, 32.0
+    pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (N, 3)))
+    vals = jnp.asarray(rng.normal(size=(N, 2)))
+    shape, sigma, support = (64, 64), 0.8, 10
+
+    f_direct = q2d._spread2d(pos, vals, shape, (L, L), sigma, support)
+    g_direct = q2d._interp2d(pos, f_direct, (L, L), sigma, support)
+
+    orig_ctx = q2d._pencil2d_ctx
+
+    def forced(p, sh, Ls, sg, sp):
+        # bypass only the N >= 4096 gate; keep the geometry checks
+        big = jnp.zeros((5000, 3), p.dtype)
+        if orig_ctx(big, sh, Ls, sg, sp) is None:
+            return None
+        from uammd_tpu.solvers.ibm import GaussianKernel
+        from uammd_tpu.solvers.pencil_ibm import bin_pencils
+
+        nx, ny = sh
+        hx = Ls[0] / nx
+        kern = GaussianKernel(sigma=sg / hx, support=sp)
+        b = box([float(Ls[0]), float(Ls[1]), 1.0], dtype=p.dtype)
+        pos3 = jnp.concatenate([p[:, :2], jnp.zeros_like(p[:, :1])], -1)
+        return kern, b, pos3, bin_pencils(pos3, (nx, ny, 1), b)
+
+    monkeypatch.setattr(q2d, "_pencil2d_ctx", forced)
+    f_pencil = q2d._spread2d(pos, vals, shape, (L, L), sigma, support)
+    g_pencil = q2d._interp2d(pos, f_pencil, (L, L), sigma, support)
+    np.testing.assert_allclose(
+        np.asarray(f_pencil), np.asarray(f_direct), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pencil), np.asarray(g_direct), atol=1e-12
+    )

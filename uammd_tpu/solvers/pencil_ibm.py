@@ -45,7 +45,9 @@ def _halo(support: int) -> int:
     return (support + 1) // 2
 
 
-def pencil_ok(shape, support, slack: int = 0) -> bool:
+def pencil_ok(shape, support, slack: int = 0, custom_z: bool = False) -> bool:
+    """``custom_z``: caller supplies z_weights (Chebyshev/2D grids), so
+    the dense-z min-image constraint shape[2] >= support does not apply."""
     h = _halo(support) + slack
     return (
         h <= PENCIL
@@ -53,7 +55,7 @@ def pencil_ok(shape, support, slack: int = 0) -> bool:
         and shape[1] % PENCIL == 0
         and shape[0] >= PENCIL + 2 * h
         and shape[1] >= PENCIL + 2 * h
-        and shape[2] >= support
+        and (custom_z or shape[2] >= support)
     )
 
 
@@ -205,7 +207,8 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
     if squeeze:
         values = values[:, None]
     C = values.shape[1]
-    assert pencil_ok(shape, kernel.support, slack), (
+    assert pencil_ok(shape, kernel.support, slack,
+                     custom_z=z_weights is not None), (
         f"shape {tuple(shape)} unsuitable for the pencil path with support "
         f"{kernel.support} + slack {slack} — use spread_auto"
     )
@@ -267,7 +270,8 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
         field = field[..., None]
     C = field.shape[-1]
     shape = field.shape[:3]
-    assert pencil_ok(shape, kernel.support, slack), (
+    assert pencil_ok(shape, kernel.support, slack,
+                     custom_z=z_weights is not None), (
         f"shape {tuple(shape)} unsuitable for the pencil path with support "
         f"{kernel.support} + slack {slack} — use interpolate_auto"
     )
