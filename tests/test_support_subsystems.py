@@ -247,3 +247,73 @@ def test_dynamic_structure_factor_ideal_diffusion():
     assert np.abs(decay[m] - want[m]).max() < 0.12, (
         np.abs(decay[m] - want[m]).max()
     )
+
+
+@pytest.mark.parametrize(
+    "integ,extra",
+    [
+        ("fib", ["viscosity 1.0", "hydrodynamicRadius 1.0"]),
+        ("icm", ["viscosity 1.0", "hydrodynamicRadius 1.0", "density 1.0"]),
+        ("mcAnderson", ["cutOff 2.5", "triesPerCell 2"]),
+    ],
+    ids=["fib", "icm", "mcAnderson"],
+)
+def test_generic_md_cli_new_integrators(tmp_path, integ, extra):
+    """generic_md drives FIB, ICM and Anderson MC from data.main
+    (reference: generic_simulation.cu:372-393 and MonteCarlo/NVT)."""
+    from uammd_tpu.cli.generic_md import main
+
+    cfg = tmp_path / "data.main"
+    cfg.write_text(
+        "\n".join(
+            [
+                "numberParticles 64",
+                "boxSize 12 12 12",
+                f"integrator {integ}",
+                "temperature 1.0",
+                "dt 0.005",
+                "numberSteps 6",
+                "seed 7",
+            ]
+            + extra
+        )
+        + "\n"
+    )
+    assert main([str(cfg)]) == 0
+
+
+def test_generic_md_cli_bonds_and_electrostatics(tmp_path):
+    """Angular/torsional bond files + the Poisson interactor from
+    data.main (reference: generic_simulation.cu:444-487)."""
+    from uammd_tpu.cli.generic_md import main
+
+    (tmp_path / "ang.bonds").write_text("1\n0 1 2 5.0 1.5708\n")
+    (tmp_path / "tor.bonds").write_text("1\n0 1 2 3 2.0 0.0\n")
+    (tmp_path / "charges.dat").write_text(
+        "\n".join(["1" if i % 2 == 0 else "-1" for i in range(32)]) + "\n"
+    )
+    cfg = tmp_path / "data.main"
+    cfg.write_text(
+        "\n".join(
+            [
+                "numberParticles 32",
+                "boxSize 10 10 10",
+                "integrator brownian",
+                "temperature 0.5",
+                "viscosity 1.0",
+                "hydrodynamicRadius 0.5",
+                "dt 0.001",
+                "numberSteps 5",
+                "cutOff 2.5",
+                "angularBondFile " + str(tmp_path / "ang.bonds"),
+                "torsionalBondFile " + str(tmp_path / "tor.bonds"),
+                "useElectrostatics",
+                "permittivity 1.0",
+                "gaussianWidth 0.4",
+                "chargeReadFile " + str(tmp_path / "charges.dat"),
+                "seed 3",
+            ]
+        )
+        + "\n"
+    )
+    assert main([str(cfg)]) == 0

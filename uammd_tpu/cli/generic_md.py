@@ -13,19 +13,30 @@ data.main; unknown options raise):
   boxSize Lx Ly Lz           numberParticles N
   integrator name            # verletNVE | verletNVT | brownian | dpd | sph
                              # | bdhiCholesky | bdhiLanczos | bdhiFCM | bdhiPSE
+                             # | fib | icm | mcForceBiased | mcAnderson
   temperature T   friction g   viscosity eta   hydrodynamicRadius a
+  density rho                # icm fluid density
   dt X            numberSteps M    printSteps K    relaxSteps R
   epsilon e  sigma s  cutOff rc  shiftLJ 0|1      # LJ pair forces
   noPairForces
   bondFile path              # harmonic bonds: first line nbonds, then
                              # "i j k r0" per line (reference BondedForces
                              # file format, BondedForces.cuh:8-11)
+  angularBondFile path       # "i j k K theta0" per line, central particle j
+                             # (reference AngularBondedForces.cuh:8-17)
+  torsionalBondFile path     # "i j k l K phi0" per line (reference
+                             # TorsionalBondedForces.cuh:60-102)
   externalForce fx fy fz     # constant per-particle force (gravity-like)
+  useElectrostatics          # triply periodic Poisson; Ewald split picked
+  permittivity eps           # by the reference's heuristic (maxL/gw >= 128
+  gaussianWidth gw           # -> split = 0.07/gw, generic_simulation.cu:479)
+  chargeReadFile path        # one charge per line; default all +1
   initialPositions fcc|sc|bcc|random
   outfile path    readFile path                   # xyz-like text I/O
-  seed S
+  seed S          triesPerCell t                  # mcAnderson
 
-  integrator also accepts mcForceBiased (MALA; needs LJ energies).
+  mcForceBiased is MALA (needs LJ energies); mcAnderson is the
+  checkerboard cell sweep with jump autotuned toward 50% acceptance.
 """
 
 from __future__ import annotations
@@ -98,7 +109,8 @@ def build_simulation(inp: InputFile):
     if inp.has("bondFile"):
         from ..interactors.bonded import bonded_forces, bonds, harmonic
 
-        rows = np.loadtxt(inp.get("bondFile", str), skiprows=1, ndmin=2)
+        rows = np.loadtxt(inp.get("bondFile", str), skiprows=1,
+                          ndmin=2).astype(st.dtype)
         blist = bonds(rows[:, :2].astype(np.int32),
                       k=rows[:, 2], r0=rows[:, 3])
         prev_fn = force_fn
@@ -106,6 +118,38 @@ def build_simulation(inp: InputFile):
         def force_fn(state, aux, _prev=prev_fn, _b=blist):
             fev, aux = _prev(state, aux)
             fev = fev + bonded_forces(harmonic, _b, state.pos, b,
+                                      Computables(force=True, energy=True))
+            return fev, aux
+
+    if inp.has("angularBondFile"):
+        from ..interactors.bonded import angular, bonded_forces, bonds
+
+        rows = np.loadtxt(inp.get("angularBondFile", str), skiprows=1,
+                          ndmin=2).astype(st.dtype)
+        alist = bonds(rows[:, :3].astype(np.int32),
+                      k=rows[:, 3], theta0=rows[:, 4])
+        prev_ang = force_fn
+
+        def force_fn(state, aux, _prev=prev_ang, _b=alist):
+            fev, aux = _prev(state, aux)
+            fev = fev + bonded_forces(angular, _b, state.pos, b,
+                                      Computables(force=True, energy=True))
+            return fev, aux
+
+    if inp.has("torsionalBondFile"):
+        from ..interactors.bonded import (
+            bonded_forces, bonds, torsional_harmonic,
+        )
+
+        rows = np.loadtxt(inp.get("torsionalBondFile", str), skiprows=1,
+                          ndmin=2).astype(st.dtype)
+        tlist = bonds(rows[:, :4].astype(np.int32),
+                      k=rows[:, 4], phi0=rows[:, 5])
+        prev_tor = force_fn
+
+        def force_fn(state, aux, _prev=prev_tor, _b=tlist):
+            fev, aux = _prev(state, aux)
+            fev = fev + bonded_forces(torsional_harmonic, _b, state.pos, b,
                                       Computables(force=True, energy=True))
             return fev, aux
 
@@ -119,6 +163,34 @@ def build_simulation(inp: InputFile):
             fev, aux = _prev(state, aux)
             return fev + ForceEnergyVirial(
                 force=jnp.broadcast_to(_f, state.pos.shape)
+            ), aux
+
+    if inp.has("useElectrostatics"):
+        # reference: generic_simulation.cu:464-487 — one Poisson module,
+        # Ewald splitting auto-selected by the system-size heuristic
+        from ..electrostatics.poisson import Poisson, PoissonSplit
+
+        eps = inp.get("permittivity", float, default=1.0)
+        gw = inp.get("gaussianWidth", float)
+        if inp.has("chargeReadFile"):
+            charge = jnp.asarray(
+                np.loadtxt(inp.get("chargeReadFile", str)).ravel()[:n],
+                st.dtype,
+            )
+        else:
+            charge = jnp.ones((n,), st.dtype)
+        maxcells = max(bs) / gw
+        if maxcells >= 128:
+            elec = PoissonSplit.create(b, n, epsilon=eps, gw=gw,
+                                       split=0.07 / gw)
+        else:
+            elec = Poisson.create(b, epsilon=eps, gw=gw)
+        prev_el = force_fn
+
+        def force_fn(state, aux, _prev=prev_el, _e=elec, _q=charge):
+            fev, aux = _prev(state, aux)
+            return fev + _e.sum(
+                state.pos, _q, Computables(force=True, energy=True)
             ), aux
 
     dt = inp.get("dt", float)
@@ -177,6 +249,55 @@ def build_simulation(inp: InputFile):
 
             backend = PSE.create(b, viscosity=eta, radius=a)
         integ = bdhi_euler_maruyama(force_fn, backend, dt, T)
+    elif name in ("fib", "bdhiFIB"):
+        # reference: generic_simulation.cu:372-382 (FIB from data.main)
+        from ..core.grid import next_fft_size
+        from ..integrators.bdhi.fib import FIB, Peskin3pt, fib_integrator
+
+        a = inp.get("hydrodynamicRadius", float, default=1.0)
+        h = a / 0.91  # rh ~ 0.91 h for the Peskin 3pt kernel (FIB.cuh:33)
+        cells = tuple(next_fft_size(max(8, round(L / h))) for L in bs)
+        fib = FIB.create(
+            b, cells, viscosity=inp.get("viscosity", float, default=1.0),
+            temperature=T, dt=dt, kernel=Peskin3pt(),
+        )
+        integ = fib_integrator(force_fn, fib)
+    elif name == "icm":
+        # reference: generic_simulation.cu:385-393 (ICM from data.main)
+        from ..core.grid import next_fft_size
+        from ..integrators.hydro.icm import ICM, icm_integrator
+
+        a = inp.get("hydrodynamicRadius", float, default=1.0)
+        h = a / 0.91
+        cells = tuple(next_fft_size(max(8, round(L / h))) for L in bs)
+        icm = ICM.create(
+            b, cells, viscosity=inp.get("viscosity", float, default=1.0),
+            density=inp.get("density", float, default=1.0),
+            temperature=T, dt=dt,
+        )
+        integ = icm_integrator(force_fn, icm)
+    elif name == "mcAnderson":
+        import dataclasses as _dc
+
+        from ..integrators.base import Integrator
+        from ..integrators.mc import AndersonMC
+
+        if pot is None:
+            log.critical("mcAnderson needs pair forces (drop noPairForces)")
+        mc = AndersonMC.create(
+            b, pot, T, st.n,
+            tries_per_cell=inp.get("triesPerCell", int, default=4),
+        )
+        # tune the jump toward 50% acceptance before production
+        # (reference: MonteCarlo/NVT/Anderson.cuh:55-57)
+        st, jump, _ = mc.sweep_autotune(st, 20)
+        mc = _dc.replace(mc, jump_size=float(jump))
+
+        def mc_step(state, mc_aux, _mc=mc):
+            return _mc.sweep(state, 1), mc_aux
+
+        integ = Integrator(init=lambda state, mc_aux: (state, mc_aux),
+                           step=mc_step)
     elif name == "mcForceBiased":
         from ..integrators.mc import force_biased
 
