@@ -245,8 +245,10 @@ def main():
             traceback.print_exc()
             print(json.dumps({"warning": f"pse bench failed: {type(e).__name__}"}))
 
+    chunk = int(os.environ.get("BENCH_CHUNK", 100))
     psteps, engine = bench_lj(
-        n=n_lj, steps=steps, warmup_steps=300, temperature=1.5, chunk=100,
+        n=n_lj, steps=steps, warmup_steps=int(os.environ.get("BENCH_WARMUP", 300)),
+        temperature=1.5, chunk=chunk,
     )
     out = {
         "metric": "lj_md_particle_steps_per_s",
