@@ -173,13 +173,24 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
             # nsteps; a different warmup length puts compile in the timing
             p, st = run_p(pos, st0, key, steps)
             sync(p)
+            ovf_warm = bool(jax.device_get(st.overflow))
             t0 = time.perf_counter()
             p, st = run_p(p, st, jax.random.fold_in(key, 1), steps)
             sync(p)
             dt_s = (time.perf_counter() - t0) / steps
             if bool(jax.device_get(st.overflow)):
-                print(json.dumps(
-                    {"warning": "pse overflow during timed phase"}))
+                # the latch is cumulative across the whole run; attribute
+                # it without new compiles: a fresh rebin of the FINAL
+                # liquid positions reuses the cached em_state executable —
+                # if it is clean, the latch was a melt-transient event,
+                # not a steady-state capacity shortfall
+                ovf_end = bool(jax.device_get(
+                    jax.jit(be.em_state)(p).overflow))
+                print(json.dumps({
+                    "warning": "pse overflow latched",
+                    "latched_during_warmup": ovf_warm,
+                    "fresh_rebin_of_final_state_overflows": ovf_end,
+                }))
             return n / dt_s
         except Exception as e:  # pragma: no cover - HW-specific safety net
             print(json.dumps({

@@ -79,7 +79,10 @@ def _default_cap(n, shape, tile):
     (The old 2*lam + 4 rule under-covers small tiles where fluctuations
     dominate the mean: lam ~ 2.5 at tile 4 on the 128k/150^3 workload.)"""
     lam = n * tile**3 / float(shape[0] * shape[1] * shape[2])
-    return max(4, int(math.ceil(lam + 5.0 * math.sqrt(lam))) + 4)
+    # +8 flat: structured (lattice) starts can systematically exceed a pure
+    # fluctuation margin through grid commensuration — see
+    # pencil_ibm.default_cap for the measured fcc case.
+    return max(4, int(math.ceil(lam + 6.0 * math.sqrt(lam))) + 8)
 
 
 def _bin_by_tile(pos, values, shape, box: Box, cap: int, tile, *,
