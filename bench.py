@@ -123,7 +123,12 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
         far_grid=far_grid,
         tolerance=1e-4, lanczos_iterations=lanczos_iterations or 10,
         pos=pos,
-        n_strag=int(os.environ.get("BENCH_PSE_STRAG", 128)),
+        # 192 rows: the round-3 measured run latched the (then-combined)
+        # overflow flag once across its melt window; offline occupancy put
+        # S=128 at the margin (Poisson E[load] ~ 78, P[>128] ~ 1e-3 per
+        # rebin). Straggler cost is O(S) in the step, so the headroom is
+        # nearly free — unlike CAP, which enters as CAP^2.
+        n_strag=int(os.environ.get("BENCH_PSE_STRAG", 192)),
     )
     if lanczos_iterations is None:
         # reference-style adaptive Lanczos tolerance, resolved at setup
@@ -179,17 +184,23 @@ def bench_pse(n, steps, far_grid, lanczos_iterations):
             sync(p)
             dt_s = (time.perf_counter() - t0) / steps
             if bool(jax.device_get(st.overflow)):
-                # the latch is cumulative across the whole run; attribute
-                # it without new compiles: a fresh rebin of the FINAL
-                # liquid positions reuses the cached em_state executable —
-                # if it is clean, the latch was a melt-transient event,
-                # not a steady-state capacity shortfall
-                ovf_end = bool(jax.device_get(
-                    jax.jit(be.em_state)(p).overflow))
+                # per-structure latches name the culprit knob directly:
+                # near = straggler rows S (BENCH_PSE_STRAG, O(S) cost) or
+                # CAP (O(CAP^2)); far = pencil cap (O(cap)). Also attribute
+                # steady-state vs melt-transient without new compiles: a
+                # fresh rebin of the FINAL liquid positions reuses the
+                # cached em_state executable — if it is clean, the latch
+                # was a melt-transient event, not a capacity shortfall
+                st_end = jax.jit(be.em_state)(p)
                 print(json.dumps({
                     "warning": "pse overflow latched",
+                    "near_pack_overflow": bool(
+                        jax.device_get(st.ovf_near)),
+                    "far_pencil_overflow": bool(
+                        jax.device_get(st.ovf_far)),
                     "latched_during_warmup": ovf_warm,
-                    "fresh_rebin_of_final_state_overflows": ovf_end,
+                    "fresh_rebin_of_final_state_overflows": bool(
+                        jax.device_get(st_end.overflow)),
                 }))
             return n / dt_s
         except Exception as e:  # pragma: no cover - HW-specific safety net

@@ -418,3 +418,43 @@ def test_tolerance_driven_far_support(system):
     e_tight = split_err(1e-6)
     assert e_tight < e_loose
     assert e_tight < 2e-3, (e_loose, e_tight)
+
+
+def test_persistent_overflow_attribution():
+    """The persistent step state latches overflow PER STRUCTURE so a
+    tripped bench run names the culprit knob (near pack: straggler rows S
+    / CAP; far: pencil cap) instead of one combined flag — the round-3
+    overflow note's attribution fix (docs/PERF.md)."""
+    rng = np.random.default_rng(7)
+    n, L = 4096, 64.0
+    b = box(L)
+    uniform = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+
+    # (a) near-only: CAP + S sized for a uniform liquid, then bin a thin
+    # z-slab — the xy distribution stays uniform (far pencils under their
+    # capacity) but the slab's 3D cells hold ~3x CAP, exhausting the
+    # straggler rows.
+    be = PSEGrid.create(b, n, radius=1.0, far_grid=24, tolerance=1e-3,
+                        lanczos_iterations=2, pos=uniform, n_strag=16)
+    slab = uniform.at[:, 2].set(
+        jnp.asarray(rng.random(n) * 2.0 - 1.0, jnp.float32))
+    st = be.em_state(slab)
+    assert bool(jax.device_get(st.ovf_near))
+    assert not bool(jax.device_get(st.ovf_far))
+    assert bool(jax.device_get(st.overflow))  # combined latch (old contract)
+
+    # (b) far-only: near CAP is sized for the clustered start (n_strag=0
+    # -> CAP covers the max cell exactly) but every particle shares one
+    # 8x8 xy patch, overflowing that pencil's capacity (which is sized
+    # for a uniform xy spread).
+    column = jnp.stack([
+        jnp.asarray(rng.random(n) * 2.0 - 1.0, jnp.float32),
+        jnp.asarray(rng.random(n) * 2.0 - 1.0, jnp.float32),
+        jnp.asarray((rng.random(n) - 0.5) * L, jnp.float32),
+    ], axis=-1)
+    be2 = PSEGrid.create(b, n, radius=1.0, far_grid=24, tolerance=1e-3,
+                         lanczos_iterations=2, pos=column, n_strag=0)
+    st2 = be2.em_state(column)
+    assert bool(jax.device_get(st2.ovf_far))
+    assert not bool(jax.device_get(st2.ovf_near))
+    assert bool(jax.device_get(st2.overflow))

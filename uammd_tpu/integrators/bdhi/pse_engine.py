@@ -63,7 +63,14 @@ from .pse import _blob_fg, _rpy_fg
 class PSEStepState:
     """Persistent binning state of the slot-resident EM loop (carried in
     the integrator scan): near-grid pid layout + far pencil bins + the
-    reference positions each was built at.  ``overflow`` latches."""
+    reference positions each was built at.
+
+    Overflow latches PER STRUCTURE so a tripped run names the culprit
+    knob: ``ovf_near`` = the near-grid pack ran out of straggler rows
+    (raise ``n_strag``, O(S) in step cost — or CAP, O(CAP^2));
+    ``ovf_far`` = a far xy-pencil exceeded its capacity (raise the pencil
+    cap, O(cap) in the far contraction). ``overflow`` is the combined
+    latch (the round-2 contract)."""
 
     pid: jax.Array          # near grid [nz, nyb, CAP, NLANE] int32
     spid: jax.Array         # near stragglers [S] int32
@@ -71,7 +78,12 @@ class PSEStepState:
     far_pids: jax.Array     # pencil bins [npen, cap] int32
     far_slot_of_pid: jax.Array  # [N] int32
     far_ref: jax.Array      # [N, 2] xy at far bin time
-    overflow: jax.Array
+    ovf_near: jax.Array     # bool, latching: near pack (CAP + straggler S)
+    ovf_far: jax.Array      # bool, latching: far pencil cap
+
+    @property
+    def overflow(self) -> jax.Array:
+        return self.ovf_near | self.ovf_far
 
 
 @dataclasses.dataclass(frozen=True)
@@ -545,7 +557,7 @@ class PSEGrid:
             pid=cg.pid, spid=cg.spid, ref=pos_w,
             far_pids=bins.pids, far_slot_of_pid=bins.slot_of_pid,
             far_ref=pos[:, :2],
-            overflow=cg.overflow | bins.overflow,
+            ovf_near=cg.overflow, ovf_far=bins.overflow,
         )
 
     def _far_hmin(self) -> float:
@@ -598,11 +610,13 @@ class PSEGrid:
                     jnp.zeros((), bool))
 
         fpids, fslot, fref, ovf_f = jax.lax.cond(need_far, refar, keepf, None)
-        overflow = st.overflow | ovf_n | ovf_f
+        ovf_near = st.ovf_near | ovf_n
+        ovf_far = st.ovf_far | ovf_f
+        overflow = ovf_near | ovf_far
         st2 = PSEStepState(
             pid=pid, spid=spid, ref=ref,
             far_pids=fpids, far_slot_of_pid=fslot, far_ref=fref,
-            overflow=overflow,
+            ovf_near=ovf_near, ovf_far=ovf_far,
         )
         # gather-refresh slot positions (empties keep EMPTY_POS so their
         # pair weights vanish, exactly as after a fresh pack): coordinate =
