@@ -255,12 +255,22 @@ def test_dynamic_structure_factor_ideal_diffusion():
         ("fib", ["viscosity 1.0", "hydrodynamicRadius 1.0"]),
         ("icm", ["viscosity 1.0", "hydrodynamicRadius 1.0", "density 1.0"]),
         ("mcAnderson", ["cutOff 2.5", "triesPerCell 2"]),
+        ("icmCompressible", ["viscosity 1.0", "hydrodynamicRadius 1.0",
+                             "density 1.0", "speedOfSound 4.0"]),
+        ("bdhiQuasi2D", ["viscosity 1.0", "hydrodynamicRadius 1.0"]),
+        ("bdhiSaffman", ["viscosity 1.0", "hydrodynamicRadius 1.0",
+                         "saffmanLength 8.0"]),
+        ("dpstokes", ["viscosity 1.0", "hydrodynamicRadius 1.0",
+                      "wallMode slit", "initialPositions random"]),
     ],
-    ids=["fib", "icm", "mcAnderson"],
+    ids=["fib", "icm", "mcAnderson", "icmCompressible", "quasi2d",
+         "saffman", "dpstokes"],
 )
 def test_generic_md_cli_new_integrators(tmp_path, integ, extra):
-    """generic_md drives FIB, ICM and Anderson MC from data.main
-    (reference: generic_simulation.cu:372-393 and MonteCarlo/NVT)."""
+    """generic_md drives FIB, ICM, Anderson MC, compressible ICM, the
+    quasi-2D BDHI family and DPStokes from data.main (reference:
+    generic_simulation.cu:372-393, Hydro/, BDHI/DoublyPeriodic/,
+    MonteCarlo/NVT)."""
     from uammd_tpu.cli.generic_md import main
 
     cfg = tmp_path / "data.main"

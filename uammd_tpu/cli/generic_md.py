@@ -13,9 +13,14 @@ data.main; unknown options raise):
   boxSize Lx Ly Lz           numberParticles N
   integrator name            # verletNVE | verletNVT | brownian | dpd | sph
                              # | bdhiCholesky | bdhiLanczos | bdhiFCM | bdhiPSE
-                             # | fib | icm | mcForceBiased | mcAnderson
+                             # | fib | icm | icmCompressible | dpstokes
+                             # | bdhiQuasi2D | bdhiTrue2D | bdhiSaffman
+                             # | mcForceBiased | mcAnderson
   temperature T   friction g   viscosity eta   hydrodynamicRadius a
-  density rho                # icm fluid density
+  density rho                # icm/icmCompressible fluid density
+  speedOfSound c             # icmCompressible equation of state p = c^2 rho
+  wallMode slit|bottom|open  # dpstokes boundary configuration
+  saffmanLength L            # bdhiSaffman membrane SD length
   dt X            numberSteps M    printSteps K    relaxSteps R
   epsilon e  sigma s  cutOff rc  shiftLJ 0|1      # LJ pair forces
   noPairForces
@@ -276,6 +281,61 @@ def build_simulation(inp: InputFile):
             temperature=T, dt=dt,
         )
         integ = icm_integrator(force_fn, icm)
+    elif name == "icmCompressible":
+        # reference: Hydro/ICM_Compressible.cuh:183 (RK3 MAC fluid +
+        # midpoint Peskin-3pt particle coupling)
+        from ..core.grid import next_fft_size
+        from ..integrators.hydro.icm_compressible import (
+            ICMCompressible,
+            icm_compressible_integrator,
+        )
+
+        a = inp.get("hydrodynamicRadius", float, default=1.0)
+        h = a / 0.91
+        cells = tuple(next_fft_size(max(8, round(L / h))) for L in bs)
+        icmc = ICMCompressible.create(
+            b, cells,
+            shear_viscosity=inp.get("viscosity", float, default=1.0),
+            density=inp.get("density", float, default=1.0),
+            speed_of_sound=inp.get("speedOfSound", float, default=4.0),
+            temperature=T, dt=dt,
+        )
+        integ = icm_compressible_integrator(force_fn, icmc)
+    elif name in ("bdhiQuasi2D", "bdhiTrue2D", "bdhiSaffman"):
+        # reference: Hydro/BDHI_quasi2D.cuh:92-173 kernel selection
+        from ..integrators.bdhi.quasi2d import (
+            BDHI2D,
+            Quasi2D,
+            Saffman,
+            True2D,
+            bdhi2d_euler_maruyama,
+        )
+
+        if name == "bdhiTrue2D":
+            kern = True2D()
+        elif name == "bdhiSaffman":
+            kern = Saffman(
+                saffman_length=inp.get("saffmanLength", float, default=10.0)
+            )
+        else:
+            kern = Quasi2D()
+        solver = BDHI2D.create(
+            b, kernel=kern,
+            viscosity=inp.get("viscosity", float, default=1.0),
+            radius=inp.get("hydrodynamicRadius", float, default=1.0),
+        )
+        integ = bdhi2d_euler_maruyama(force_fn, solver, dt, T)
+    elif name == "dpstokes":
+        # reference: BDHI/DoublyPeriodic/DPStokesSlab.cuh:424
+        # (DPStokesIntegrator: EM over the slab mobility + Lanczos noise)
+        from ..integrators.bdhi.dpstokes import DPStokes, dpstokes_em
+
+        dps = DPStokes.create(
+            b, viscosity=inp.get("viscosity", float, default=1.0),
+            radius=inp.get("hydrodynamicRadius", float, default=1.0),
+            mode=inp.get("wallMode", str, default="slit"),
+        )
+        integ = dpstokes_em(force_fn, dps, dt, T)
     elif name == "mcAnderson":
         import dataclasses as _dc
 
