@@ -258,13 +258,14 @@ def test_dynamic_structure_factor_ideal_diffusion():
         ("icmCompressible", ["viscosity 1.0", "hydrodynamicRadius 1.0",
                              "density 1.0", "speedOfSound 4.0"]),
         ("bdhiQuasi2D", ["viscosity 1.0", "hydrodynamicRadius 1.0"]),
+        ("bdhiTrue2D", ["viscosity 1.0", "hydrodynamicRadius 1.0"]),
         ("bdhiSaffman", ["viscosity 1.0", "hydrodynamicRadius 1.0",
                          "saffmanLength 8.0"]),
         ("dpstokes", ["viscosity 1.0", "hydrodynamicRadius 1.0",
                       "wallMode slit", "initialPositions random"]),
     ],
     ids=["fib", "icm", "mcAnderson", "icmCompressible", "quasi2d",
-         "saffman", "dpstokes"],
+         "true2d", "saffman", "dpstokes"],
 )
 def test_generic_md_cli_new_integrators(tmp_path, integ, extra):
     """generic_md drives FIB, ICM, Anderson MC, compressible ICM, the

@@ -54,6 +54,12 @@ class SimState:
     id: jax.Array | None = None  # [N] int32 stable identity under resort
     time: jax.Array | None = None  # scalar simulation time
     step: jax.Array | None = None  # scalar int step counter
+    # User-defined per-particle properties (the EXTRA_PARTICLE_PROPERTIES
+    # analog, reference: src/ParticleData/ParticleData.cuh:29-95): a dict of
+    # name -> [N, ...] array. Being an ordinary pytree child it rides through
+    # jit/scan/checkpoint for free; ``permute`` and ``spatial_sort`` reorder
+    # it together with the built-in properties so it survives resorting.
+    extra: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n(self) -> int:
@@ -86,6 +92,40 @@ class SimState:
 
     def get_id(self) -> jax.Array:
         return self.id if self.id is not None else jnp.arange(self.n, dtype=jnp.int32)
+
+    def permute(self, perm) -> "SimState":
+        """Reorder every per-particle property (built-in and ``extra``) by
+        ``perm`` (new_index -> old_index). Stable ids travel with their
+        particles, so groups and checkpoints remain valid (reference:
+        ParticleData.cuh:492 sortParticles + the reorder-signal web)."""
+        perm = jnp.asarray(perm)
+
+        def take(a):
+            if a is None or a.ndim == 0 or a.shape[0] != self.n:
+                return a
+            return jnp.take(a, perm, axis=0)
+
+        kw = {
+            f.name: take(getattr(self, f.name))
+            for f in dataclasses.fields(self)
+            if f.name not in ("key", "extra", "time", "step")
+        }
+        kw["id"] = jnp.take(self.get_id(), perm)
+        kw["extra"] = {k: take(v) for k, v in self.extra.items()}
+        return self.replace(**kw)
+
+
+def spatial_sort(state: SimState, box_size, n_cells: int = 64) -> SimState:
+    """Sort particles by spatial cell hash for locality — the functional
+    ParticleSorter (reference: src/utils/ParticleSorter.cuh:51-129,
+    CellIndexHash). Every property, including ``extra`` user fields, is
+    carried through the permutation; ids keep identities stable."""
+    Ls = jnp.broadcast_to(jnp.asarray(box_size, state.dtype), (3,))
+    frac = state.pos / Ls + 0.5
+    frac = frac - jnp.floor(frac)
+    c = jnp.clip((frac * n_cells).astype(jnp.int32), 0, n_cells - 1)
+    h = (c[:, 2] * n_cells + c[:, 1]) * n_cells + c[:, 0]
+    return state.permute(jnp.argsort(h))
 
 
 def make_state(

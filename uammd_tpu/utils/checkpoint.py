@@ -32,6 +32,11 @@ def save(path: str, state: SimState) -> None:
             continue
         if f.name == "key":
             fields["key"] = np.asarray(jax.random.key_data(v))
+        elif f.name == "extra":
+            # user-defined per-particle properties (ParticleData.cuh:29-95
+            # EXTRA_PARTICLE_PROPERTIES analog) round-trip under a prefix
+            for k, a in v.items():
+                fields[f"extra__{k}"] = np.asarray(jax.device_get(a))
         else:
             fields[f.name] = np.asarray(jax.device_get(v))
     np.savez(path, __version__=FORMAT_VERSION, **fields)
@@ -43,12 +48,16 @@ def load(path: str, dtype=None) -> SimState:
     assert version == FORMAT_VERSION, f"unknown checkpoint version {version}"
     key = jax.random.wrap_key_data(jnp.asarray(data.pop("key")))
     kwargs = {}
+    extra = {}
     for name, arr in data.items():
         a = jnp.asarray(arr)
         if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
             a = a.astype(dtype)
-        kwargs[name] = a
-    return SimState(key=key, **kwargs)
+        if name.startswith("extra__"):
+            extra[name[len("extra__"):]] = a
+        else:
+            kwargs[name] = a
+    return SimState(key=key, extra=extra, **kwargs)
 
 
 # Reference property blocks: name -> (SimState field, column count).
