@@ -175,17 +175,22 @@ class FCM:
         return GaussianKernel(sigma=self.sigma_torque / h,
                               support=self.support)
 
-    def pencil_bins(self, pos, slack: int = 0):
+    def pencil_bins(self, pos, slack: int = 0, cap_extra: int = 0):
         """Pencil bins for this grid, or None when the pencil path does not
         apply.  With ``slack`` > 0 the bins stay exact for up to slack*h of
         x/y drift — reusable across integrator steps (pass them back via
         ``bins=``/``slack=`` on the compute_* methods and rebin when
-        max drift exceeds slack * min(hx, hy))."""
-        from ...solvers.pencil_ibm import bin_pencils, pencil_ok
+        max drift exceeds slack * min(hx, hy)).  ``cap_extra`` adds rows to
+        the per-pencil capacity (O(cap) in the far contraction cost) —
+        the bench's overflow-retry knob."""
+        from ...solvers.pencil_ibm import bin_pencils, default_cap, pencil_ok
 
         if pos.shape[0] >= 4096 and pencil_ok(self.shape, self.support,
                                               slack):
-            return bin_pencils(pos, self.shape, self.box)
+            cap = None
+            if cap_extra:
+                cap = default_cap(pos.shape[0], self.shape) + int(cap_extra)
+            return bin_pencils(pos, self.shape, self.box, cap=cap)
         return None
 
     def _spread_interp(self, pos, bins=None, slack: int = 0):
