@@ -108,6 +108,7 @@ def choose_spec(
     n_strag: int = 0,
     strag_cell_excess: int = 6,
     strag_headroom: float = 3.0,
+    nz_multiple: int = 1,
 ) -> GridSpec:
     """Pick (nx, ny, nz), fold F and CAP for a target box/density.
 
@@ -121,6 +122,16 @@ def choose_spec(
     nx_nat = max(3, int(Ls[0] / rl))
     nz = max(3, int(Ls[2] / rl))
     ny_nat = max(3, int(Ls[1] / rl))
+    if nz_multiple > 1:
+        # Floor nz to a multiple (larger z-cells are always stencil-correct)
+        # so a z-slab mesh divides the grid evenly; never round UP (that
+        # would shrink cells below the cutoff).
+        nz_f = (nz // nz_multiple) * nz_multiple
+        if nz_f < 3:
+            raise ValueError(
+                f"box z ({Ls[2]}) too small for nz multiple {nz_multiple} "
+                f"at cutoff*skin {rl}")
+        nz = nz_f
     # Geometry search: cells may always be *larger* than rl (fewer of them),
     # so pick (nx, ny, F) minimizing the kernel cost model
     # nz * nyb * CAP_est^2 (the hardware always processes 128 lanes, so a

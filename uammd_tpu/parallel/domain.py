@@ -370,3 +370,261 @@ def shard_grid_state2(gs, mesh, axis: str = "z", seed: int = 0):
     )
     keys = jax.device_put(keys, sharding)
     return tuple(arrays) + (ovf, keys)
+
+
+# ---------------------------------------------------------------------------
+# v3: domain decomposition for the channel-kernel engines (DPD, SPH)
+# ---------------------------------------------------------------------------
+#
+# The reference runs every pair potential through the same fast machinery
+# (reference: src/Interactor/PairForces.cuh:23); the TPU analog is that the
+# DD scaffolding (halo exchange + drift-synchronized cross-shard rebin) is
+# potential-agnostic: any engine whose force is a channel-kernel pass
+# (engine/pair_kernel.make_pair_channel_kernel) rides the same z-slab mesh.
+# ``make_domain_channel_step`` provides the shared velocity-Verlet + halo +
+# migration skeleton; ``make_domain_dpd_step`` / ``make_domain_sph_step``
+# instantiate it for engine/dpd.py and engine/sph.py.
+
+
+def make_domain_channel_step(
+    mesh: Mesh,
+    spec: GridSpec,
+    make_local_force,
+    *,
+    dt: float,
+    mass: float = 1.0,
+    axis: str = "z",
+    interpret: bool | None = None,
+    n_total: int | None = None,
+):
+    """Shared DD skeleton for velocity-Verlet channel-kernel engines.
+
+    ``make_local_force(local_spec, interpret)`` must return
+    ``force(halo_extend, xe, ye, ze, vxe, vye, vze, pidf_e, step_i) ->
+    (fx, fy, fz)`` evaluated on the halo-extended [nz_loc + 2, ...] grids
+    (ghost rows may hold garbage forces — the skeleton trims them). The
+    velocity entering the force is the half-kicked one (the Groot-Warren
+    lambda = 1/2 structure both engines use, engine/dpd.py step()).
+
+    State tuple: (x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz, pidf, ovf,
+    stepi) — grid arrays z-sharded, pidf = pid + 1 float32, ovf a [n_dev]
+    latching flag, stepi a [n_dev] int32 step counter (same value on every
+    shard; feeds the DPD counter RNG).
+    """
+    n_dev = mesh.devices.size
+    nz = spec.shape[2]
+    assert nz % n_dev == 0, "nz must divide the mesh for z-sharding"
+    nz_loc = nz // n_dev
+    Lz = np.float32(spec.box_size[2])
+    thr2 = np.float32(spec.drift_threshold ** 2)
+    dt_ = np.float32(dt)
+    hv = np.float32(0.5 * dt / mass)
+
+    local_spec = dataclasses.replace(
+        spec, shape=(spec.shape[0], spec.shape[1], nz_loc + 2)
+    )
+    local_force = make_local_force(local_spec, interpret)
+
+    def halo_extend(a, shift_lo=0.0, shift_hi=0.0, stacked_axis=0):
+        ax = stacked_axis
+        up = jax.lax.ppermute(
+            jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax),
+            axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        down = jax.lax.ppermute(
+            jax.lax.slice_in_dim(a, 0, 1, axis=ax),
+            axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        )
+        idx = jax.lax.axis_index(axis)
+        if shift_lo or shift_hi:
+            up = up + jnp.where(idx == 0, shift_lo, 0.0)
+            down = down + jnp.where(idx == n_dev - 1, shift_hi, 0.0)
+        return jnp.concatenate([up, a, down], axis=ax)
+
+    def step_shard(x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz,
+                   pidf, ovf, stepi):
+        mask = (pidf > 0.5).astype(x.dtype)
+        # half-kick + drift (engine/dpd.py step(): force sees v(t + dt/2))
+        vx = (vx + hv * fx) * mask
+        vy = (vy + hv * fy) * mask
+        vz = (vz + hv * fz) * mask
+        x = x + jnp.where(mask > 0, dt_ * vx, 0.0)
+        y = y + jnp.where(mask > 0, dt_ * vy, 0.0)
+        z = z + jnp.where(mask > 0, dt_ * vz, 0.0)
+        stepi = stepi + 1
+
+        # global drift criterion -> synchronized cross-shard rebin
+        d2 = mask * ((x - rx) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
+        drift2 = jax.lax.pmax(jnp.max(d2), axis)
+
+        def do_rebin(args):
+            x, y, z, vx, vy, vz, pidf, ovf = args
+            (xn, yn, zn, vxn, vyn, vzn, pidn), count, o = _local_rebin(
+                spec, nz_loc, n_dev, axis, halo_extend,
+                x, y, z, vx, vy, vz, pidf,
+            )
+            total = jax.lax.psum(count, axis)
+            o = o.astype(jnp.float32)
+            if n_total is not None:
+                o = o + (total != n_total).astype(jnp.float32)
+            return xn, yn, zn, vxn, vyn, vzn, pidn, ovf + o
+
+        x, y, z, vx, vy, vz, pidf, ovf = jax.lax.cond(
+            drift2 > thr2, do_rebin, lambda a: a,
+            (x, y, z, vx, vy, vz, pidf, ovf),
+        )
+        rx = jnp.where(drift2 > thr2, x, rx)
+        ry = jnp.where(drift2 > thr2, y, ry)
+        rz = jnp.where(drift2 > thr2, z, rz)
+        mask = (pidf > 0.5).astype(x.dtype)
+
+        # halo exchange + local channel force (ghost rows discarded)
+        xe = halo_extend(x)
+        ye = halo_extend(y)
+        ze = halo_extend(z, shift_lo=-Lz, shift_hi=Lz)
+        vxe = halo_extend(vx)
+        vye = halo_extend(vy)
+        vze = halo_extend(vz)
+        pe = halo_extend(pidf)
+        fxl, fyl, fzl = local_force(
+            halo_extend, xe, ye, ze, vxe, vye, vze, pe, stepi[0]
+        )
+        fx = fxl[1:-1] * mask
+        fy = fyl[1:-1] * mask
+        fz = fzl[1:-1] * mask
+        vx = (vx + hv * fx) * mask
+        vy = (vy + hv * fy) * mask
+        vz = (vz + hv * fz) * mask
+        return (x, y, z, vx, vy, vz, fx, fy, fz, rx, ry, rz, pidf, ovf,
+                stepi)
+
+    gspec = P(axis)
+    step = jax.shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(gspec,) * 15,
+        out_specs=(gspec,) * 15,
+        check_vma=False,
+    )
+    sharding = NamedSharding(mesh, gspec)
+    return jax.jit(step), sharding
+
+
+def make_domain_dpd_step(
+    mesh: Mesh,
+    spec: GridSpec,
+    *,
+    rc: float = 1.0,
+    A: float = 25.0,
+    gamma: float = 4.5,
+    temperature: float = 1.0,
+    dt: float = 0.01,
+    mass: float = 1.0,
+    axis: str = "z",
+    interpret: bool | None = None,
+    n_total: int | None = None,
+):
+    """Domain-decomposed DPD (engine/dpd.py over z-slabs). The per-pair
+    random force uses the same symmetric (pid_lo, pid_hi, step) counter
+    hash as the single-chip engine, so DD trajectories match the
+    single-chip ones wherever the slot layout does and momentum stays
+    conserved across shard boundaries (both evaluations of a pair hash
+    identically)."""
+    import math as _math
+
+    from ..engine.dpd import dpd_pair_fn
+    from ..engine.pair_kernel import make_pair_channel_kernel
+
+    sigma_dt = _math.sqrt(2.0 * temperature * gamma / dt)
+
+    def make_local_force(local_spec, interp):
+        kern = make_pair_channel_kernel(
+            local_spec, dpd_pair_fn(rc, A, gamma, sigma_dt), 5, 3,
+            interpret=interp, periodic_z=False,
+        )
+
+        def force(halo_extend, xe, ye, ze, vxe, vye, vze, pe, step_i):
+            # engine/dpd.py channels: (vx, vy, vz, pid_f, step_f) with
+            # pid as a raw float (empties -1); pe carries pid + 1
+            pidc = pe - 1.0
+            stepf = jnp.full_like(xe, step_i.astype(jnp.float32))
+            return kern(xe, ye, ze, vxe, vye, vze, pidc, stepf)
+
+        return force
+
+    return make_domain_channel_step(
+        mesh, spec, make_local_force, dt=dt, mass=mass, axis=axis,
+        interpret=interpret, n_total=n_total,
+    )
+
+
+def make_domain_sph_step(
+    mesh: Mesh,
+    spec: GridSpec,
+    params,
+    *,
+    dt: float = 0.01,
+    mass: float = 1.0,
+    axis: str = "z",
+    interpret: bool | None = None,
+    n_total: int | None = None,
+):
+    """Domain-decomposed SPH (engine/sph.py over z-slabs): the density
+    sweep runs on the halo-extended grid (home rows exact), then the
+    derived P/rho^2 channel is itself halo-exchanged so the force sweep
+    sees correct ghost-row pressures — two ppermute rounds per step, the
+    short-range analog of the reference's two VerletList transversals
+    (reference: src/Interactor/SPH.cu:7-27)."""
+    import math as _math
+
+    from ..engine.pair_kernel import make_pair_channel_kernel
+    from ..engine.sph import sph_density_pair_fn, sph_force_pair_fn
+
+    def make_local_force(local_spec, interp):
+        rho_kern = make_pair_channel_kernel(
+            local_spec, sph_density_pair_fn(params.support), 1, 1,
+            interpret=interp, periodic_z=False,
+        )
+        f_kern = make_pair_channel_kernel(
+            local_spec, sph_force_pair_fn(params), 5, 3,
+            interpret=interp, periodic_z=False,
+        )
+        w0 = 1.0 / (_math.pi * params.support ** 3)
+
+        def force(halo_extend, xe, ye, ze, vxe, vye, vze, pe, step_i):
+            m = (pe > 0.5).astype(xe.dtype)
+            mch = m * np.float32(mass)
+            (rho,) = rho_kern(xe, ye, ze, mch)
+            rho = (rho + np.float32(mass * w0)) * m
+            # ghost-row densities are wrong (their neighbours lie outside
+            # the halo); recompute them by exchanging the HOME rows
+            rho_home = rho[1:-1]
+            rho_e = halo_extend(rho_home)
+            rho_s = jnp.where(m > 0, rho_e, 1.0)
+            pressure = params.gas_stiffness * (rho_s - params.rest_density)
+            p_div_rho2 = jnp.where(m > 0, pressure / (rho_s * rho_s), 0.0)
+            return f_kern(xe, ye, ze, p_div_rho2, vxe, vye, vze, mch)
+
+        return force
+
+    return make_domain_channel_step(
+        mesh, spec, make_local_force, dt=dt, mass=mass, axis=axis,
+        interpret=interpret, n_total=n_total,
+    )
+
+
+def shard_channel_state(gs, mesh, axis: str = "z"):
+    """GridState -> the 15-tuple consumed by make_domain_channel_step."""
+    sharding = NamedSharding(mesh, P(axis))
+    pidf = (gs.pid + 1).astype(jnp.float32)
+    arrays = [
+        jax.device_put(a, sharding)
+        for a in (gs.x, gs.y, gs.z, gs.vx, gs.vy, gs.vz,
+                  gs.fx, gs.fy, gs.fz, gs.x, gs.y, gs.z, pidf)
+    ]
+    n_dev = mesh.devices.size
+    ovf = jax.device_put(jnp.zeros((n_dev,), jnp.float32), sharding)
+    stepi = jax.device_put(
+        jnp.broadcast_to(jnp.asarray(gs.step, jnp.int32), (n_dev,)), sharding
+    )
+    return tuple(arrays) + (ovf, stepi)
