@@ -312,6 +312,11 @@ def main():
             traceback.print_exc()
             print(json.dumps({"warning": f"pse bench failed: {type(e).__name__}"}))
 
+    if os.environ.get("BENCH_SKIP_LJ"):
+        # PSE-only tuning runs: the driver protocol never sets this (the
+        # LAST line must stay the primary LJ metric)
+        return
+
     chunk = int(os.environ.get("BENCH_CHUNK", 100))
     psteps, engine = bench_lj(
         n=n_lj, steps=steps, warmup_steps=int(os.environ.get("BENCH_WARMUP", 300)),

@@ -649,17 +649,24 @@ def _sep_place(nq, cap_out, nlane, my_c, cand, coord_q, cell_of, tri,
 
 
 def make_separable_rebin(spec: GridSpec, n_q: int, *,
+                         ocap: int = OCAP,
                          interpret: bool | None = None):
     """Three-pass rebin: returns rebin(stacked, strag_stack) ->
-    (out [n_q, nz, nyb, CAP, NLANE], mini [n_q, nz, nyb, OCAP, NLANE],
+    (out [n_q, nz, nyb, CAP, NLANE], mini [n_q, nz, nyb, ocap, NLANE],
     count, overflow). Requires spec.n_strag > 0 (straggler-capable layout).
-    """
+
+    ``ocap`` is the per-cell overflow mini-grid depth (ranks CAP ..
+    CAP+ocap). The LJ engine keeps the default 8 (choose_spec bounds the
+    per-cell excess at 6); consumers whose CAP was picked with an
+    unbounded per-cell excess (the PSE near grid, strag_cell_excess=2^30)
+    pass a larger value — cost is linear in cap+ocap, not quadratic."""
     nx, ny, nz = spec.shape
     F = spec.fold
     nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
     S = spec.n_strag
     assert S > 0
-    wide = cap + OCAP  # intermediate capacity
+    OCAP_ = ocap
+    wide = cap + OCAP_  # intermediate capacity
     Lx, Ly, Lz = (np.float32(s) for s in spec.box_size)
     fnx, fny, fnz = np.float32(nx), np.float32(ny), np.float32(nz)
     if interpret is None:
@@ -822,14 +829,14 @@ def make_separable_rebin(spec: GridSpec, n_q: int, *,
         out_r = jax.lax.broadcasted_iota(
             jnp.int32, (cap, 1, 1), 0).astype(jnp.float32)
         out_r8 = (
-            jax.lax.broadcasted_iota(jnp.int32, (OCAP, 1, 1), 0).astype(
+            jax.lax.broadcasted_iota(jnp.int32, (OCAP_, 1, 1), 0).astype(
                 jnp.float32) + np.float32(cap)
         )
 
         acc = [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_q)]
-        acc8 = [jnp.zeros((OCAP, nlane), jnp.float32) for _ in range(n_q)]
+        acc8 = [jnp.zeros((OCAP_, nlane), jnp.float32) for _ in range(n_q)]
         filled = jnp.zeros((cap, nlane), jnp.float32)
-        filled8 = jnp.zeros((OCAP, nlane), jnp.float32)
+        filled8 = jnp.zeros((OCAP_, nlane), jnp.float32)
         base_rank = jnp.zeros((1, nlane), jnp.float32)
         overflow = jnp.zeros((), jnp.float32)
         n_count = jnp.zeros((), jnp.float32)
@@ -864,7 +871,7 @@ def make_separable_rebin(spec: GridSpec, n_q: int, *,
                 acc8[q] = acc8[q] + jnp.sum(onehot8 * cand[q][None], axis=1)
             filled = filled + jnp.sum(onehot, axis=1)
             filled8 = filled8 + jnp.sum(onehot8, axis=1)
-            overflow = overflow + jnp.sum(vf * (rank >= cap + OCAP))
+            overflow = overflow + jnp.sum(vf * (rank >= cap + OCAP_))
             n_count = n_count + jnp.sum(vf)
 
         notfill = filled < 0.5
@@ -929,13 +936,13 @@ def make_separable_rebin(spec: GridSpec, n_q: int, *,
             grid=(nz, nyb),
             in_specs=[blk_spec(wide)],
             out_specs=[blk_spec(cap),
-                       pl.BlockSpec((n_q, 1, 1, OCAP, nlane),
+                       pl.BlockSpec((n_q, 1, 1, OCAP_, nlane),
                                     lambda z, yb: (0, z, yb, 0, 0),
                                     memory_space=pltpu.VMEM),
                        diag_spec, diag_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((n_q, nz, nyb, cap, nlane), jnp.float32),
-                jax.ShapeDtypeStruct((n_q, nz, nyb, OCAP, nlane), jnp.float32),
+                jax.ShapeDtypeStruct((n_q, nz, nyb, OCAP_, nlane), jnp.float32),
                 diag_shape, diag_shape,
             ],
             compiler_params=cparams,
@@ -943,9 +950,9 @@ def make_separable_rebin(spec: GridSpec, n_q: int, *,
         )(w)
 
     def rebin_stacked(stacked, strag_stack):
-        # widen [cap] -> [cap + OCAP] with empty rows for the intermediates
+        # widen [cap] -> [cap + ocap] with empty rows for the intermediates
         pad = jnp.zeros(
-            (n_q, nz, nyb, OCAP, nlane), stacked.dtype
+            (n_q, nz, nyb, OCAP_, nlane), stacked.dtype
         ).at[:3].set(EMPTY_POS)
         wide_in = jnp.concatenate([stacked, pad], axis=3)
         zout, ovf_z, cnt_z = run_z(wide_in, strag_stack)
@@ -960,6 +967,20 @@ def make_separable_rebin(spec: GridSpec, n_q: int, *,
         return out, mini, count, overflow
 
     return rebin_stacked
+
+
+def compact_mini_pids(mini, S: int):
+    """[n_q, nz, nyb, ocap, NLANE] overflow mini-grid -> dense [S] straggler
+    pid rows. Pid-only consumer variant of :func:`_compact_mini` for callers
+    that re-gather positions from ids afterwards (the PSE persistent
+    refresh): returns (spid [S] int32, count)."""
+    pidf = mini[mini.shape[0] - 1].reshape(-1)
+    mask = pidf > 0.5
+    count = jnp.sum(mask.astype(jnp.int32))
+    _, idx = jax.lax.top_k(mask.astype(jnp.int32), S)
+    valid = mask[idx]
+    spid = jnp.where(valid, pidf[idx].astype(jnp.int32) - 1, -1)
+    return spid, count
 
 
 def rebin_fast3(gs: GridState) -> GridState:

@@ -136,6 +136,7 @@ class PSEGrid:
         pos=None,
         far_grid: int | None = None,
         n_strag: int = 0,
+        nz_multiple: int = 1,
     ):
         """``far_grid`` overrides xi by pinning the far-field FFT size per
         axis (e.g. 128 for a pow2-friendly TPU FFT): the Ewald split is
@@ -192,7 +193,7 @@ class PSEGrid:
         spec = choose_spec(
             Ls, n, rcut, skin=1.0, cap=cap, pos=pos,
             n_strag=n_strag, strag_cell_excess=1 << 30,
-            strag_headroom=1.5,
+            strag_headroom=1.5, nz_multiple=nz_multiple,
         )
 
         # ---- piecewise polynomial fit of the near-field radial functions
@@ -300,6 +301,28 @@ class PSEGrid:
                 self.spec, pf, 3, 3, pair_both_fn=pbf
             )
             object.__setattr__(self, "_kern_cache", cache)
+        return cache
+
+    # per-cell overflow depth of the near-grid slot rebin: particles above
+    # CAP + this in one cell latch ovf_near (the two-sort pack has no such
+    # bound, but a liquid cell at CAP + 16 over a ~20 mean is a capacity
+    # pathology the latch SHOULD name). Cost is linear in cap + ocap.
+    NEAR_REBIN_OCAP = 16
+
+    def _near_rebin(self):
+        """Cached separable slot-space rebin for the near grid (the LJ
+        engine's 3-pass kernel, engine/rebin_kernel.py): replaces the
+        O(N log N) two-sort repack on the persistent path's drift-triggered
+        refresh — at bench parameters the repack fires every ~2 steps and
+        the two-sort was the single largest per-step cost."""
+        cache = self.__dict__.get("_near_rebin_cache")
+        if cache is None:
+            from ...engine.rebin_kernel import make_separable_rebin
+
+            cache = make_separable_rebin(
+                self.spec, 4, ocap=self.NEAR_REBIN_OCAP
+            )
+            object.__setattr__(self, "_near_rebin_cache", cache)
         return cache
 
     # --------------------------------------------------------- slot space
@@ -604,9 +627,55 @@ class PSEGrid:
              for d in range(3)], -1,
         )
 
-        def repack(_):
-            cg = pack_channels(spec, pos, jnp.zeros((n, 0), jnp.float32))
-            return cg.pid, cg.spid, pos_w, cg.overflow
+        S = spec.n_strag
+        if S:
+            # slot-space separable rebin (engine/rebin_kernel.py): move the
+            # drifted slots between cells in three Pallas passes instead of
+            # re-sorting all N particles. Old slot coordinates are rebuilt
+            # in the OLD layout's image branch (ref + min-image drift), so
+            # the kernel's wrap-and-claim sees exactly what the LJ engine
+            # feeds it between rebins.
+            from ...engine.rebin_kernel import compact_mini_pids
+
+            def repack(_):
+                def bpos(d):
+                    dd = pos[:, d] - st.ref[:, d]
+                    return st.ref[:, d] + (dd - Ls[d] * jnp.round(dd / Ls[d]))
+
+                pxo, pyo, pzo = bpos(0), bpos(1), bpos(2)
+                empty = jnp.float32(EMPTY_POS)
+                m_old = st.pid >= 0
+                src_o = jnp.maximum(st.pid, 0)
+                stacked = jnp.stack([
+                    jnp.where(m_old, pxo[src_o], empty),
+                    jnp.where(m_old, pyo[src_o], empty),
+                    jnp.where(m_old, pzo[src_o], empty),
+                    (st.pid + 1).astype(jnp.float32),
+                ])
+                sm = st.spid >= 0
+                ssrc = jnp.maximum(st.spid, 0)
+                sstack = jnp.stack([
+                    jnp.where(sm, pxo[ssrc], empty),
+                    jnp.where(sm, pyo[ssrc], empty),
+                    jnp.where(sm, pzo[ssrc], empty),
+                    (st.spid + 1).astype(jnp.float32),
+                ])
+                sstack = jnp.broadcast_to(
+                    sstack[:, :, None], (4, S, spec.nlane)
+                )
+                out, mini, count, ovf = self._near_rebin()(stacked, sstack)
+                pid = out[3].astype(jnp.int32) - 1
+                spid, s_count = compact_mini_pids(mini, S)
+                ovf_b = (
+                    (ovf > 0)
+                    | (count.astype(jnp.int32) != n)
+                    | (s_count > S)
+                )
+                return pid, spid, pos_w, ovf_b
+        else:
+            def repack(_):
+                cg = pack_channels(spec, pos, jnp.zeros((n, 0), jnp.float32))
+                return cg.pid, cg.spid, pos_w, cg.overflow
 
         def keep(_):
             return st.pid, st.spid, st.ref, jnp.zeros((), bool)
