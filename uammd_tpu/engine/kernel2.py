@@ -62,6 +62,7 @@ def make_newton_pair_kernel(
     interpret: bool | None = None,
     clamp_lo: float = 4e-3,
     self_half: bool = False,
+    strag_cellcenter: bool = False,
     _timing_no_reaction: bool = False,
     _timing_mode: str | None = None,
 ):
@@ -284,6 +285,45 @@ def make_newton_pair_kernel(
         # ---- straggler broadcast block (minimum image, both directions)
         if S:
             sblk = ins[3 * nblk][:, :, :]  # [4, S, nlane]
+            if strag_cellcenter and getattr(g_fn, "fused", False):
+                # Cheap wrap: min-image the straggler coordinates ONCE per
+                # (program, lane) against the home CELL CENTER ([S, nlane]
+                # ops) instead of per candidate pair ([cap, S, nlane] cube
+                # ops). Correct because any pair within the cutoff has the
+                # other image at >= L/2 - (cell/2 + drift) >> rcut, and
+                # out-of-cutoff pairs only need to FAIL the cutoff test —
+                # the fused g's select does that whatever image was picked.
+                # The home-empty mask is also unneeded (empty slots sit at
+                # EMPTY_POS -> r2 ~ 1e18 fails the cutoff); only the
+                # straggler-validity mask survives, as one cube multiply.
+                cs = [np.float32(v) for v in spec.cell_size]
+                lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, nlane), 1)
+                cxf = (lane_i // F).astype(jnp.float32)
+                ff = (lane_i % F).astype(jnp.float32)
+                ccx = (cxf + 0.5) * cs[0] - 0.5 * Lx
+                yrow = ypid.astype(jnp.float32) * np.float32(F) + ff
+                ccy = (yrow + 0.5) * cs[1] - 0.5 * Ly
+                ccz = (zpid.astype(jnp.float32) + 0.5) * cs[2] - 0.5 * Lz
+                sxw = sblk[0] - Lx * jnp.round((sblk[0] - ccx) * iLx)
+                syw = sblk[1] - Ly * jnp.round((sblk[1] - ccy) * iLy)
+                szw = sblk[2] - Lz * jnp.round((sblk[2] - ccz) * iLz)
+                svalf = sblk[3][None, :, :]
+                dxv = sxw[None, :, :] - xi_
+                dyv = syw[None, :, :] - yi_
+                dzv = szw[None, :, :] - zi_
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                g = g_fn(r2) * svalf
+                tx = g * dxv
+                ty = g * dyv
+                tz = g * dzv
+                fx = fx + jnp.sum(tx, axis=1)
+                fy = fy + jnp.sum(ty, axis=1)
+                fz = fz + jnp.sum(tz, axis=1)
+                outs[15][0, 0, :, :] = -jnp.sum(tx, axis=0)
+                outs[16][0, 0, :, :] = -jnp.sum(ty, axis=0)
+                outs[17][0, 0, :, :] = -jnp.sum(tz, axis=0)
+                _write_outputs(outs, fx, fy, fz, grp)
+                return
             sx = sblk[0][None, :, :]
             sy = sblk[1][None, :, :]
             sz = sblk[2][None, :, :]
@@ -311,14 +351,7 @@ def make_newton_pair_kernel(
             outs[16][0, 0, :, :] = -jnp.sum(ty, axis=0)
             outs[17][0, 0, :, :] = -jnp.sum(tz, axis=0)
 
-        outs[0][0, 0, :, :] = fx
-        outs[1][0, 0, :, :] = fy
-        outs[2][0, 0, :, :] = fz
-        k = 3
-        for gkey in REACTION_GROUPS:
-            for c in range(3):
-                outs[k][0, 0, :, :] = grp[gkey][c]
-                k += 1
+        _write_outputs(outs, fx, fy, fz, grp)
 
     def block_spec(dz, dyb):
         return pl.BlockSpec(
@@ -380,6 +413,17 @@ def make_newton_pair_kernel(
         )(*args)
 
     return force
+
+
+def _write_outputs(outs, fx, fy, fz, grp):
+    outs[0][0, 0, :, :] = fx
+    outs[1][0, 0, :, :] = fy
+    outs[2][0, 0, :, :] = fz
+    k = 3
+    for gkey in REACTION_GROUPS:
+        for c in range(3):
+            outs[k][0, 0, :, :] = grp[gkey][c]
+            k += 1
 
 
 def _blk_index(z, yb, *, dz, dyb, nz, nyb):

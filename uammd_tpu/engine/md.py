@@ -258,12 +258,15 @@ def lj_g_fused(epsilon=1.0, sigma=1.0, *, rc2, clamp_lo=4e-3, approx=True):
 
     Writes (dE/dr)/r as t^4 * (c1*t^3 + c2) with t = 1/r2 (sigma folded
     into the two static coefficients), which is 2 VPU ops shorter than the
-    inv6-factored form, and replaces the caller-side ``max`` clamp +
-    ``where`` cutoff pair with a single select *on t*: outside the cutoff
-    (or inside the degenerate-slot floor ``clamp_lo``, where only padded /
-    self slots with d == 0 live) t is zeroed, which zeroes t^4 and hence
-    the whole force term. Kernels detect the fused contract through the
-    ``.fused`` attribute and skip their own clamp/cutoff wrapper.
+    inv6-factored form. The degenerate-slot floor is a ``max`` clamp on r2
+    (1 op) instead of a lower-bound compare folded into the cutoff select
+    (cmp + and, 2 ops): below ``clamp_lo`` only padded / self slots with
+    d == 0 live, so the clamped value just needs to stay FINITE — the force
+    term g*d is exactly zero there either way (and a hypothetical real pair
+    under the floor now gets the clamped repulsion instead of silent zero,
+    matching the non-fused kernel wrapper). Kernels detect the fused
+    contract through the ``.fused`` attribute and skip their own
+    clamp/cutoff wrapper.
 
     ``approx`` uses the TPU hardware approximate reciprocal (Pallas only,
     ~2^-12 relative error — the accuracy class of the reference's
@@ -286,11 +289,11 @@ def lj_g_fused(epsilon=1.0, sigma=1.0, *, rc2, clamp_lo=4e-3, approx=True):
             return np.float32(1.0) / r2
 
     def g(r2):
-        t = jnp.where((r2 < rc2_) & (r2 > lo_), recip(r2), zero)
+        t = recip(jnp.maximum(r2, lo_))
         t2 = t * t
         t3 = t2 * t
         t4 = t2 * t2
-        return t4 * (c1 * t3 + c2)
+        return jnp.where(r2 < rc2_, t4 * (c1 * t3 + c2), zero)
 
     g.fused = True
     return g

@@ -58,7 +58,8 @@ class GridMD2:
     @staticmethod
     def create(spec: GridSpec, g_fn, *, dt, temperature, friction=1.0,
                mass=1.0, interpret: bool | None = None, g_fn_kernel=None,
-               fold_in_update: bool | None = None, noise: str = "bm"):
+               fold_in_update: bool | None = None, noise: str = "bm",
+               self_half: bool = False, strag_cellcenter: bool = False):
         """``g_fn_kernel`` optionally overrides the radial function used
         INSIDE the Pallas kernel (e.g. md.lj_g_fast with the hardware
         approximate reciprocal); ``g_fn`` stays the jnp-evaluable version
@@ -83,6 +84,8 @@ class GridMD2:
             make_newton_pair_kernel(
                 spec, g_fn_kernel if g_fn_kernel is not None else g_fn,
                 interpret=interpret,
+                self_half=bool(self_half and not interpret),
+                strag_cellcenter=strag_cellcenter,
             )
         )
         object.__setattr__(
@@ -304,6 +307,12 @@ def make_lj_md2(
     fast_recip: bool = False,
     fold_in_update: bool | None = None,
     noise: str = "bm",
+    # both defaults measured on-device (scripts/probe_lj4.py, round 4):
+    # the circulant Newton-halved self block and the cell-center straggler
+    # wrap are exact (checked vs the full kernel) and each shaves ~2% off
+    # the pair kernel; self_half auto-disables under interpret.
+    self_half: bool = True,
+    strag_cellcenter: bool = True,
 ) -> GridMD2:
     """v2 engine on the reference benchmark system
     (examples/misc/benchmark.cu:172-181). ``fast_recip`` uses the hardware
@@ -321,4 +330,5 @@ def make_lj_md2(
         spec, lj_g(epsilon, sigma), dt=dt, temperature=temperature,
         friction=friction, mass=mass, interpret=interpret, g_fn_kernel=gk,
         fold_in_update=fold_in_update, noise=noise,
+        self_half=self_half, strag_cellcenter=strag_cellcenter,
     )
