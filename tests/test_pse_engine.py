@@ -458,3 +458,45 @@ def test_persistent_overflow_attribution():
     assert bool(jax.device_get(st2.ovf_far))
     assert not bool(jax.device_get(st2.ovf_near))
     assert bool(jax.device_get(st2.overflow))
+
+
+@pytest.mark.parametrize("n_strag", [0, 64])
+def test_fused_mf_and_noise_matches_separate(n_strag):
+    """The fused near-field pass (_near_mf_and_noise: M F batched with the
+    first Lanczos noise matvec through ONE 6-channel kernel, plus the
+    peeled-w0 Lanczos) must reproduce the separate near_matvec_slots +
+    _near_noise_slots results (identical RNG keys and operator)."""
+    from uammd_tpu.engine.layout import pack_channels
+
+    rng = np.random.default_rng(5)
+    n, L = 200, 26.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    F = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    kw = dict(cap=8) if n_strag else {}
+    be = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-3,
+                        lanczos_iterations=6, pos=pos, n_strag=n_strag,
+                        **kw)
+    cg = pack_channels(be.spec, pos, F)
+    key = jax.random.key(11)
+    sf3 = cg.schannels if n_strag else None
+    v3, sv3, b3, b3s, _ = be._near_mf_and_noise(cg, *cg.channels, sf3, key)
+    if n_strag:
+        assert int(jax.device_get((cg.spid >= 0).sum())) > 0
+        rvx, rvy, rvz, rsv3 = be.near_matvec_slots(
+            cg, *cg.channels, sf3=sf3)
+    else:
+        rvx, rvy, rvz = be.near_matvec_slots(cg, *cg.channels)
+    rbx, rby, rbz, rb3s, _ = be._near_noise_slots(cg, key)
+    scale = float(jnp.max(jnp.abs(rvx)))
+    for got, ref in zip(v3 + b3, (rvx, rvy, rvz, rbx, rby, rbz)):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(got)), np.asarray(jax.device_get(ref)),
+            rtol=2e-5, atol=2e-5 * scale)
+    if n_strag:
+        for got, ref in zip(tuple(sv3) + tuple(b3s),
+                            tuple(rsv3) + tuple(rb3s)):
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(got)),
+                np.asarray(jax.device_get(ref)),
+                rtol=2e-5, atol=2e-5 * scale)

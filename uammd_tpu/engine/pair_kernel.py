@@ -348,8 +348,11 @@ def make_pair_channel_kernel(
     # live set but serializes the VPU ~90x (no cross-iteration pipelining);
     # home-chunking keeps full throughput up to cap ~ 48. Larger caps
     # use the straggler occupancy split (spec.n_strag).
+    # live-set estimate scales with the array count (2 intermediates per
+    # coordinate/channel array across the 27 unrolled offsets); for the
+    # 3-channel matvec this is the measured round-2 constant 12 = 2 * n_arr
     budget = 48 * 1024 * 1024 // (
-        (27 * 12 * cap + (24 * S if S else 0)) * nlane * 4
+        (27 * 2 * (3 + n_chan) * cap + (24 * S if S else 0)) * nlane * 4
     )
     home_chunk = cap
     while home_chunk > 8 and home_chunk > budget:
@@ -539,8 +542,12 @@ def make_pair_channel_kernel(
             out_specs=out_specs,
             out_shape=out_shape,
             cost_estimate=cost,
+            # 112 MB of the v5e's 128 MB VMEM: the 6-channel fused matvec
+            # (PSE M F + first Lanczos matvec) peaks at ~103 MB with a
+            # straggler block of S ~ 192 — the old 100 MB cap OOM'd it by
+            # 2.6 MB while the hardware has 25 MB of headroom left.
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=112 * 1024 * 1024,
             ),
             interpret=interpret,
         )(*args)

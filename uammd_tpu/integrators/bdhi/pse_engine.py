@@ -240,7 +240,7 @@ class PSEGrid:
         )
 
     # ------------------------------------------------------------- kernels
-    def _pair_fn(self):
+    def _radial_apply(self):
         rc2 = np.float32(self.rcut * self.rcut)
         inv_rcut = np.float32(1.0 / self.rcut)
         qb = np.float32(self.qb)
@@ -279,29 +279,46 @@ class PSEGrid:
             gc = ginv2 * (fx * dxv + fy * dyv + fz * dzv)
             return (f * fx + gc * dxv, f * fy + gc * dyv, f * fz + gc * dzv)
 
+        return radial, apply_dir
+
+    def _pair_fn(self, nvec: int = 1):
+        """Transverser pair functions applying M_near to ``nvec`` stacked
+        3-vectors off ONE radial evaluation (the Horner chains dominate the
+        pair cost, so a fused multi-vector pass costs far less than nvec
+        passes — used to batch M F with the first Lanczos noise matvec)."""
+        radial, apply_dir = self._radial_apply()
+
         def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
             f, ginv2 = radial(r2)
-            return apply_dir(f, ginv2, dxv, dyv, dzv, ch_j)
+            out = ()
+            for k in range(nvec):
+                out += apply_dir(f, ginv2, dxv, dyv, dzv,
+                                 ch_j[3 * k: 3 * k + 3])
+            return out
 
         def pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
-            # both directions off ONE radial evaluation (the Horner chains
-            # dominate the pair cost); the g-term sign is even in r
+            # both directions off ONE radial evaluation; the g-term sign is
+            # even in r
             f, ginv2 = radial(r2)
-            fwd = apply_dir(f, ginv2, dxv, dyv, dzv, ch_j)
-            bwd = apply_dir(f, ginv2, -dxv, -dyv, -dzv, ch_i)
+            fwd = ()
+            bwd = ()
+            for k in range(nvec):
+                fwd += apply_dir(f, ginv2, dxv, dyv, dzv,
+                                 ch_j[3 * k: 3 * k + 3])
+                bwd += apply_dir(f, ginv2, -dxv, -dyv, -dzv,
+                                 ch_i[3 * k: 3 * k + 3])
             return fwd, bwd
 
         return pair_fn, pair_both_fn
 
-    def _kernel(self):
-        cache = self.__dict__.get("_kern_cache")
-        if cache is None:
-            pf, pbf = self._pair_fn()
-            cache = make_pair_channel_kernel(
-                self.spec, pf, 3, 3, pair_both_fn=pbf
+    def _kernel(self, nvec: int = 1):
+        cache = self.__dict__.setdefault("_kern_cache", {})
+        if nvec not in cache:
+            pf, pbf = self._pair_fn(nvec)
+            cache[nvec] = make_pair_channel_kernel(
+                self.spec, pf, 3 * nvec, 3 * nvec, pair_both_fn=pbf
             )
-            object.__setattr__(self, "_kern_cache", cache)
-        return cache
+        return cache[nvec]
 
     # per-cell overflow depth of the near-grid slot rebin: particles above
     # CAP + this in one cell latch ovf_near (the two-sort pack has no such
@@ -369,6 +386,92 @@ class PSEGrid:
             for p, s, f in zip(sv, ss, (sfx, sfy, sfz))
         )
         return vx, vy, vz, sv3
+
+    def near_matvec2_slots(self, cg: ChannelGrid, f3a, f3b,
+                           sf3a=None, sf3b=None):
+        """M_near applied to TWO slot-space 3-vectors in ONE kernel pass.
+        The radial polynomial evaluation (the dominant pair cost) is shared
+        between the vectors, so this costs ~1.3x one matvec instead of 2x.
+        Returns (v3a, v3b, sv3a, sv3b) — the straggler outputs are None
+        when the spec has no straggler rows."""
+        sf = np.float32(self.self_f)
+        S = self.spec.n_strag
+        ch = (*f3a, *f3b)
+        if S == 0:
+            outs = self._kernel(2)(cg.x, cg.y, cg.z, *ch)
+            va = tuple(outs[k] + sf * ch[k] for k in range(3))
+            vb = tuple(outs[3 + k] + sf * ch[3 + k] for k in range(3))
+            return va, vb, None, None
+        sch = (*sf3a, *sf3b)
+        blk = broadcast_strag_channels(self.spec, cg.spos, sch, cg.spid)
+        outs = self._kernel(2)(cg.x, cg.y, cg.z, *ch, strag=blk)
+        va = tuple(outs[k] + sf * ch[k] for k in range(3))
+        vb = tuple(outs[3 + k] + sf * ch[3 + k] for k in range(3))
+        smask = (cg.spid >= 0).astype(jnp.float32)
+        sva = [jnp.sum(outs[6 + c], axis=(0, 1, 3)) for c in range(3)]
+        svb = [jnp.sum(outs[9 + c], axis=(0, 1, 3)) for c in range(3)]
+        ssa = self._strag_pair_apply(cg.spos, cg.spid, *sf3a)
+        ssb = self._strag_pair_apply(cg.spos, cg.spid, *sf3b)
+        sv3a = tuple((p + s + sf * f) * smask
+                     for p, s, f in zip(sva, ssa, sf3a))
+        sv3b = tuple((p + s + sf * f) * smask
+                     for p, s, f in zip(svb, ssb, sf3b))
+        return va, vb, sv3a, sv3b
+
+    def _near_mf_and_noise(self, cg: ChannelGrid, fx, fy, fz, sf3, key):
+        """Fused near-field M F + sqrt(M_near) dW: the M F matvec rides the
+        FIRST Lanczos matvec in one 6-channel kernel pass (near_matvec2 +
+        lanczos_sqrt_apply's peeled ``w0``), saving one full operator
+        application per EM step. Returns (v3, sv3, b3, bs3, res) with the
+        same RNG draws as _near_noise_slots (bitwise-matching keys)."""
+        shape = cg.x.shape
+        S = self.spec.n_strag
+        T = int(np.prod(shape))
+        mask = (cg.pid >= 0).astype(jnp.float32)
+        k1, k2, k3 = jax.random.split(key, 3)
+        z3 = tuple(
+            jax.random.normal(k, shape, jnp.float32) * mask
+            for k in (k1, k2, k3)
+        )
+        zs = None
+        if S:
+            smask = (cg.spid >= 0).astype(jnp.float32)
+            zs = jax.random.normal(
+                jax.random.fold_in(key, 7), (3, S), jnp.float32
+            ) * smask
+        va, vb, sv3a, sv3b = self.near_matvec2_slots(
+            cg, (fx, fy, fz), z3,
+            sf3a=sf3, sf3b=(zs[0], zs[1], zs[2]) if S else None,
+        )
+        zflat = jnp.stack(z3).reshape(3, -1)
+        w0 = jnp.stack(vb).reshape(3, -1)
+        if S:
+            zflat = jnp.concatenate([zflat, zs], axis=1)
+            w0 = jnp.concatenate([w0, jnp.stack(sv3b)], axis=1)
+
+        def mv(v):
+            g = v.reshape((3, -1))
+            gg = g[:, :T].reshape((3,) + shape)
+            if S:
+                gs = g[:, T:]
+                ox, oy, oz, sv3 = self.near_matvec_slots(
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
+                )
+                flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
+                return jnp.concatenate(
+                    [flat, jnp.stack(sv3)], axis=1
+                ).reshape(-1)
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
+            return jnp.stack([ox, oy, oz]).reshape(-1)
+
+        out, res = lanczos_sqrt_apply(
+            mv, zflat.reshape(-1), m=self.lanczos_iterations,
+            w0=w0.reshape(-1),
+        )
+        o = out.reshape((3, -1))
+        og = o[:, :T].reshape((3,) + shape)
+        b3s = (o[:, T:] if S else None)
+        return va, sv3a, (og[0], og[1], og[2]), b3s, res
 
     def _near_noise_slots(self, cg: ChannelGrid, key):
         """sqrt(M_near) dW in slot space via Lanczos (empty slots carry
@@ -537,24 +640,26 @@ class PSEGrid:
             cg = pack_channels(self.spec, pos, zero_f)
         with jax.named_scope("uammd.pse.pair_force"):
             (fx, fy, fz), sf3 = force_slots_fn(cg)
-        with jax.named_scope("uammd.pse.near_mf"):
-            if S:
-                vx, vy, vz, sv3 = self.near_matvec_slots(
-                    cg, fx, fy, fz, sf3=sf3
-                )
-                sv3 = list(sv3)
-            else:
-                vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
         forces = unpack_values(cg, (fx, fy, fz), svalues=sf3).astype(pos.dtype)
         if temperature > 0:
             k1, k2 = jax.random.split(key)
-            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
+            with jax.named_scope("uammd.pse.near_mf_noise"):
+                (vx, vy, vz), sv3, b3, b3s, _ = self._near_mf_and_noise(
+                    cg, fx, fy, fz, sf3, k2
+                )
             a = np.float32(amp)
-            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
-            if S:
-                sv3 = [s + a * b for s, b in zip(sv3, b3)]
+            vx, vy, vz = vx + a * b3[0], vy + a * b3[1], vz + a * b3[2]
+            sv3 = ([s + a * b for s, b in zip(sv3, b3s)] if S else None)
             far_v = self.far.compute_mf_bdw(pos, forces, k1, amp)
         else:
+            with jax.named_scope("uammd.pse.near_mf"):
+                if S:
+                    vx, vy, vz, sv3 = self.near_matvec_slots(
+                        cg, fx, fy, fz, sf3=sf3
+                    )
+                    sv3 = list(sv3)
+                else:
+                    vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
             far_v = self.far.compute_mf(pos, forces)
         near = unpack_values(
             cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)
@@ -748,26 +853,28 @@ class PSEGrid:
             cg, bins, st = self._refresh(st, pos)
         with jax.named_scope("uammd.pse.pair_force"):
             (fx, fy, fz), sf3 = force_slots_fn(cg)
-        with jax.named_scope("uammd.pse.near_mf"):
-            if S:
-                vx, vy, vz, sv3 = self.near_matvec_slots(
-                    cg, fx, fy, fz, sf3=sf3
-                )
-                sv3 = list(sv3)
-            else:
-                vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
         forces = unpack_values(cg, (fx, fy, fz), svalues=sf3).astype(pos.dtype)
         if temperature > 0:
             k1, k2 = jax.random.split(key)
-            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
+            with jax.named_scope("uammd.pse.near_mf_noise"):
+                (vx, vy, vz), sv3, b3, b3s, _ = self._near_mf_and_noise(
+                    cg, fx, fy, fz, sf3, k2
+                )
             a = np.float32(amp)
-            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
-            if S:
-                sv3 = [s + a * b for s, b in zip(sv3, b3)]
+            vx, vy, vz = vx + a * b3[0], vy + a * b3[1], vz + a * b3[2]
+            sv3 = ([s + a * b for s, b in zip(sv3, b3s)] if S else None)
             far_v = self.far.compute_mf_bdw(
                 pos, forces, k1, amp, bins=bins, slack=self.far_slack
             )
         else:
+            with jax.named_scope("uammd.pse.near_mf"):
+                if S:
+                    vx, vy, vz, sv3 = self.near_matvec_slots(
+                        cg, fx, fy, fz, sf3=sf3
+                    )
+                    sv3 = list(sv3)
+                else:
+                    vx, vy, vz = self.near_matvec_slots(cg, fx, fy, fz)
             far_v = self.far.compute_mf(
                 pos, forces, bins=bins, slack=self.far_slack
             )
@@ -817,23 +924,26 @@ class PSEGrid:
         S = self.spec.n_strag
         with jax.named_scope("uammd.pse.pack"):
             cg = pack_channels(self.spec, pos, forces)
-        with jax.named_scope("uammd.pse.near_mf"):
-            if S:
-                vx, vy, vz, sv3 = self.near_matvec_slots(
-                    cg, *cg.channels, sf3=cg.schannels
-                )
-                sv3 = list(sv3)
-            else:
-                vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
         if temperature > 0:
             k1, k2 = jax.random.split(key)
-            bx, by, bz, b3, _ = self._near_noise_slots(cg, k2)
+            with jax.named_scope("uammd.pse.near_mf_noise"):
+                (vx, vy, vz), sv3, b3, b3s, _ = self._near_mf_and_noise(
+                    cg, *cg.channels,
+                    cg.schannels if S else None, k2,
+                )
             a = np.float32(amp)
-            vx, vy, vz = vx + a * bx, vy + a * by, vz + a * bz
-            if S:
-                sv3 = [s + a * b for s, b in zip(sv3, b3)]
+            vx, vy, vz = vx + a * b3[0], vy + a * b3[1], vz + a * b3[2]
+            sv3 = ([s + a * b for s, b in zip(sv3, b3s)] if S else None)
             far_v = self.far.compute_mf_bdw(pos, forces, k1, amp)
         else:
+            with jax.named_scope("uammd.pse.near_mf"):
+                if S:
+                    vx, vy, vz, sv3 = self.near_matvec_slots(
+                        cg, *cg.channels, sf3=cg.schannels
+                    )
+                    sv3 = list(sv3)
+                else:
+                    vx, vy, vz = self.near_matvec_slots(cg, *cg.channels)
             far_v = self.far.compute_mf(pos, forces)
         near = unpack_values(
             cg, (vx, vy, vz), svalues=(tuple(sv3) if S else None)

@@ -22,10 +22,16 @@ import jax
 import jax.numpy as jnp
 
 
-def lanczos_sqrt_apply(mv, v: jax.Array, m: int = 32):
+def lanczos_sqrt_apply(mv, v: jax.Array, m: int = 32, w0=None):
     """Return (sqrt(M) v approximation, residual_estimate).
 
     ``mv``: callable x -> M x on flattened vectors; ``v``: [K] vector.
+
+    ``w0`` optionally supplies the precomputed first matvec M v (of the
+    UN-normalized v): iteration 0 is peeled out of the loop and skips its
+    ``mv`` call. Callers that can batch M v with another matvec (e.g. the
+    PSE near field fusing M F with the first noise matvec into one kernel
+    pass) save one full operator application per sqrt.
     """
     k = v.shape[0]
     dtype = v.dtype
@@ -36,9 +42,10 @@ def lanczos_sqrt_apply(mv, v: jax.Array, m: int = 32):
     alphas = jnp.zeros((m,), dtype)
     betas = jnp.zeros((m + 1,), dtype)  # betas[0] unused
 
-    def body(i, carry):
+    def body(i, carry, w=None):
         V, alphas, betas = carry
-        w = mv(V[i])
+        if w is None:
+            w = mv(V[i])
         w = w - betas[i] * V[i - 1] * (i > 0)
         a = jnp.vdot(V[i], w)
         w = w - a * V[i]
@@ -50,7 +57,13 @@ def lanczos_sqrt_apply(mv, v: jax.Array, m: int = 32):
         V = V.at[i + 1].set(w / jnp.where(b > 1e-30, b, 1.0))
         return V, alphas.at[i].set(a), betas.at[i + 1].set(b)
 
-    V, alphas, betas = jax.lax.fori_loop(0, m, body, (V, alphas, betas))
+    carry = (V, alphas, betas)
+    if w0 is not None:
+        # M v0 = (M v) / ||v||, by linearity
+        carry = body(0, carry, w=w0 / jnp.where(vnorm > 0, vnorm, 1.0))
+        V, alphas, betas = jax.lax.fori_loop(1, m, body, carry)
+    else:
+        V, alphas, betas = jax.lax.fori_loop(0, m, body, carry)
 
     # T = tridiag(alphas, betas[1:m]); sqrt via eigh
     T = (
