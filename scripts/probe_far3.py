@@ -131,30 +131,71 @@ def main():
 
     timed(outer, (wx0, wy0, wz0, pv0), "outer_products")
 
-    wxy0 = (wx0[:, :, :, None] * wy0[:, :, None, :]).reshape(npen, cap, P * P)
-    q0 = (wz0[:, :, :, None] * pv0[:, :, None, :]).reshape(npen, cap, nz * C)
+# NOTE: wxy0/q0 cannot be carried through the timed scan — ~485 MB of
+    # carry exceeds the remote-compile body limit on the tunnel. Build them
+    # inside the jit from the ~125 MB weight set instead; the printed number
+    # therefore INCLUDES the outer products (subtract "outer_products").
 
     def contract(x):
-        wxy, q = x
+        wx, wy, wz, pv = x
+        wxy = (wx[:, :, :, None] * wy[:, :, None, :]).reshape(npen, cap,
+                                                              P * P)
+        q = (wz[:, :, :, None] * pv[:, :, None, :]).reshape(npen, cap,
+                                                            nz * C)
         patch = jnp.einsum("scp,scq->spq", wxy, q,
                            preferred_element_type=jnp.float32)
-        return (wxy + 1e-12 * patch.sum(), q)
+        return (wx + 1e-12 * patch.sum(), wy, wz, pv)
 
-    timed(contract, (wxy0, q0), "einsum_whole")
+    timed(contract, (wx0, wy0, wz0, pv0), "outer_plus_einsum_whole")
 
     def contract_chunk(x):
-        wxy, q = x
+        wx, wy, wz, pv = x
+
+        def one(a):
+            wxc, wyc, wzc, pvc = a
+            wxy = (wxc[:, :, :, None] * wyc[:, :, None, :]).reshape(
+                wxc.shape[0], cap, P * P)
+            q = (wzc[:, :, :, None] * pvc[:, :, None, :]).reshape(
+                wzc.shape[0], cap, nz * C)
+            return jnp.einsum("scp,scq->spq", wxy, q,
+                              preferred_element_type=jnp.float32)
+
         out = jax.lax.map(
-            lambda a: jnp.einsum("scp,scq->spq", a[0], a[1],
-                                 preferred_element_type=jnp.float32),
-            (wxy.reshape(-1, 54, cap, P * P), q.reshape(-1, 54, cap, nz * C)),
+            one,
+            tuple(a.reshape(-1, 54, *a.shape[1:])
+                  for a in (wx, wy, wz, pv)),
         )
-        return (wxy + 1e-12 * out.sum(), q)
+        return (wx + 1e-12 * out.sum(), wy, wz, pv)
 
-    timed(contract_chunk, (wxy0, q0), "einsum_chunk54")
+    timed(contract_chunk, (wx0, wy0, wz0, pv0), "outer_plus_einsum_chunk54")
 
+    def contract_chunk_bf16(x):
+        wx, wy, wz, pv = x
+
+        def one(a):
+            wxc, wyc, wzc, pvc = a
+            wxy = (wxc[:, :, :, None] * wyc[:, :, None, :]).reshape(
+                wxc.shape[0], cap, P * P).astype(jnp.bfloat16)
+            q = (wzc[:, :, :, None] * pvc[:, :, None, :]).reshape(
+                wzc.shape[0], cap, nz * C).astype(jnp.bfloat16)
+            return jnp.einsum("scp,scq->spq", wxy, q,
+                              preferred_element_type=jnp.float32)
+
+        out = jax.lax.map(
+            one,
+            tuple(a.reshape(-1, 54, *a.shape[1:])
+                  for a in (wx, wy, wz, pv)),
+        )
+        return (wx + 1e-12 * out.sum(), wy, wz, pv)
+
+    timed(contract_chunk_bf16, (wx0, wy0, wz0, pv0),
+          "outer_plus_einsum_chunk54_bf16")
+
+    wxy0 = (wx0[:, :, :, None] * wy0[:, :, None, :]).reshape(npen, cap, P * P)
+    q0 = (wz0[:, :, :, None] * pv0[:, :, None, :]).reshape(npen, cap, nz * C)
     patch0 = jnp.einsum("scp,scq->spq", wxy0, q0,
                         preferred_element_type=jnp.float32)
+    del wxy0, q0
 
     def fold(pa):
         patch = pa.reshape(npx, npy, P, P, nz, C)
