@@ -63,6 +63,7 @@ def make_newton_pair_kernel(
     clamp_lo: float = 4e-3,
     self_half: bool = False,
     strag_cellcenter: bool = False,
+    halo_z: bool = False,
     _timing_no_reaction: bool = False,
     _timing_mode: str | None = None,
 ):
@@ -71,6 +72,17 @@ def make_newton_pair_kernel(
 
     ``strag`` is the [4, S, NLANE] broadcast straggler block
     (x, y, z, valid) — see ``broadcast_stragglers``.
+
+    ``halo_z=True`` is the domain-decomposition mode (parallel/domain2.py):
+    spec.shape[2] counts the *home* rows of one z-slab, and the z axis is
+    NOT periodic. Instead the caller passes a pre-shifted ghost row (the up
+    neighbor's first home row) as three extra [1, nyb, cap, nlane] inputs:
+    ``force(x, y, z, gx, gy, gz[, strag])``. Programs at the top home row
+    select the ghost blocks as their dz=+1 candidates; reactions they
+    compute onto the ghost (returned in the (1, dyb) group rows at
+    z = nz-1) belong to the up neighbor and must be ppermuted there by the
+    caller before the fold. Per-program work is identical to the periodic
+    single-chip kernel — the halo cost is pure boundary traffic.
     """
     nx, ny, nz = spec.shape
     F = spec.fold
@@ -82,11 +94,17 @@ def make_newton_pair_kernel(
     clamp_lo = np.float32(clamp_lo)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if halo_z:
+        assert not strag_cellcenter, (
+            "strag_cellcenter needs global cell centers; unsupported in "
+            "halo mode")
 
     # source blocks needed for self + positive offsets
     blocks_needed = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    dz1_blocks = [(dz, dyb) for (dz, dyb) in blocks_needed if dz == 1]
     nblk = len(blocks_needed)
-    n_in = 3 * nblk + (1 if S else 0)
+    n_ghost = 9 if halo_z else 0
+    n_in = 3 * nblk + n_ghost + (1 if S else 0)
     n_out = 3 + 12 + (3 if S else 0)
 
     def kernel(*refs):
@@ -101,11 +119,19 @@ def make_newton_pair_kernel(
             bx = ins[k][0, 0, :, :]
             by = ins[nblk + k][0, 0, :, :]
             bz = ins[2 * nblk + k][0, 0, :, :]
+            if halo_z and dz == 1:
+                # top home row: candidates come from the ghost row, whose
+                # z is already image-shifted by the caller
+                j = dz1_blocks.index((dz, dyb))
+                sel = zpid == nz - 1
+                bx = jnp.where(sel, ins[3 * nblk + j][0, 0, :, :], bx)
+                by = jnp.where(sel, ins[3 * nblk + 3 + j][0, 0, :, :], by)
+                bz = jnp.where(sel, ins[3 * nblk + 6 + j][0, 0, :, :], bz)
             if dyb == 1:
                 by = by + jnp.where(ypid == nyb - 1, Ly, 0.0)
             elif dyb == -1:
                 by = by + jnp.where(ypid == 0, -Ly, 0.0)
-            if dz == 1:
+            if dz == 1 and not halo_z:
                 bz = bz + jnp.where(zpid == nz - 1, Lz, 0.0)
             blocks[(dz, dyb)] = (bx, by, bz)
 
@@ -284,7 +310,7 @@ def make_newton_pair_kernel(
 
         # ---- straggler broadcast block (minimum image, both directions)
         if S:
-            sblk = ins[3 * nblk][:, :, :]  # [4, S, nlane]
+            sblk = ins[3 * nblk + n_ghost][:, :, :]  # [4, S, nlane]
             if strag_cellcenter and getattr(g_fn, "fused", False):
                 # Cheap wrap: min-image the straggler coordinates ONCE per
                 # (program, lane) against the home CELL CENTER ([S, nlane]
@@ -354,13 +380,27 @@ def make_newton_pair_kernel(
         _write_outputs(outs, fx, fy, fz, grp)
 
     def block_spec(dz, dyb):
+        idx = functools.partial(
+            _blk_index_halo if halo_z else _blk_index,
+            dz=dz, dyb=dyb, nz=nz, nyb=nyb,
+        )
         return pl.BlockSpec(
-            (1, 1, cap, nlane),
-            functools.partial(_blk_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
-            memory_space=pltpu.VMEM,
+            (1, 1, cap, nlane), idx, memory_space=pltpu.VMEM,
         )
 
     in_specs = [block_spec(dz, dyb) for _ in range(3) for (dz, dyb) in blocks_needed]
+    if halo_z:
+        for _ in range(3):
+            for (_, dyb) in dz1_blocks:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1, 1, cap, nlane),
+                        functools.partial(
+                            _ghost_index, dyb=dyb, nyb=nyb
+                        ),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
     if S:
         in_specs.append(
             pl.BlockSpec(
@@ -395,10 +435,15 @@ def make_newton_pair_kernel(
     )
 
     @jax.jit
-    def force(x, y, z, strag=None):
+    def force(x, y, z, *extra):
         args = [[x, y, z][i // nblk] for i in range(3 * nblk)]
+        if halo_z:
+            gx, gy, gz = extra[0], extra[1], extra[2]
+            extra = extra[3:]
+            for g in (gx, gy, gz):
+                args += [g] * 3
         if S:
-            args.append(strag)
+            args.append(extra[0])
         return pl.pallas_call(
             kernel,
             grid=(nz, nyb),
@@ -428,6 +473,21 @@ def _write_outputs(outs, fx, fy, fz, grp):
 
 def _blk_index(z, yb, *, dz, dyb, nz, nyb):
     return ((z + dz) % nz, (yb + dyb) % nyb, 0, 0)
+
+
+def _blk_index_halo(z, yb, *, dz, dyb, nz, nyb):
+    """Non-periodic z (halo mode): clamp instead of wrap. The clamped loads
+    at the boundary row are replaced in-kernel by ghost/recv selects."""
+    zi = z + dz
+    if dz == 1:
+        zi = jnp.minimum(zi, nz - 1)
+    elif dz == -1:
+        zi = jnp.maximum(zi, 0)
+    return (zi, (yb + dyb) % nyb, 0, 0)
+
+
+def _ghost_index(z, yb, *, dyb, nyb):
+    return (0, (yb + dyb) % nyb, 0, 0)
 
 
 def make_fold_kernel(spec: GridSpec, *, interpret: bool | None = None):
@@ -488,6 +548,91 @@ def fold_reactions_jnp(home, groups):
     for (dz, dyb), g in zip(REACTION_GROUPS, groups):
         for c in range(3):
             out[c] = out[c] + jnp.roll(g[c], shift=(dz, dyb), axis=(0, 1))
+    return tuple(out)
+
+
+def make_fold_kernel_halo(spec: GridSpec, *, interpret: bool | None = None):
+    """Halo-mode reaction fold (parallel/domain2.py): like make_fold_kernel
+    but z is a non-periodic slab. The (1, dyb) reactions arriving at home
+    row 0 come from the DOWN neighbor's top-row groups, passed as 9 extra
+    ``recv`` inputs of [1, nyb, cap, nlane]:
+
+        fold(home3, groups4x3, recvs9) -> (fx, fy, fz)
+
+    recvs order matches REACTION_GROUPS[:3] x (x, y, z).
+    """
+    nz, nyb, cap, nlane = spec.array_shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        ins = refs[:24]
+        outs = refs[24:]
+        zpid = pl.program_id(0)
+        at0 = zpid == 0
+        for c in range(3):
+            acc = ins[c][0, 0, :, :]
+            for gi in range(4):
+                blk = ins[3 + gi * 3 + c][0, 0, :, :]
+                if REACTION_GROUPS[gi][0] == 1:
+                    recv = ins[15 + gi * 3 + c][0, 0, :, :]
+                    blk = jnp.where(at0, recv, blk)
+                acc = acc + blk
+            outs[c][0, 0, :, :] = acc
+
+    home_spec = pl.BlockSpec(
+        (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [home_spec] * 3
+    for (dz, dyb) in REACTION_GROUPS:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, cap, nlane),
+                functools.partial(
+                    _blk_index_halo, dz=-dz, dyb=-dyb, nz=nz, nyb=nyb
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 3
+    for (dz, dyb) in REACTION_GROUPS[:3]:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, cap, nlane),
+                functools.partial(_ghost_index, dyb=-dyb, nyb=nyb),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 3
+
+    @jax.jit
+    def fold(home, groups, recvs):
+        args = list(home)
+        for g in groups:
+            args += list(g)
+        args += list(recvs)
+        return pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=[home_spec] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+            ] * 3,
+            interpret=interpret,
+        )(*args)
+
+    return fold
+
+
+def fold_reactions_halo_jnp(home, groups, recvs):
+    """XLA mirror of make_fold_kernel_halo."""
+    out = list(home)
+    for gi, ((dz, dyb), g) in enumerate(zip(REACTION_GROUPS, groups)):
+        for c in range(3):
+            arr = g[c]
+            if dz == 1:
+                arr = jnp.concatenate([recvs[gi * 3 + c], arr[:-1]], axis=0)
+            out[c] = out[c] + jnp.roll(arr, dyb, axis=1)
     return tuple(out)
 
 
