@@ -134,3 +134,67 @@ def want_for(a, eta, L):
         1.0 - 2.83729747948062 * al + (4.0 * math.pi / 3.0) * al**3
         - a6 * al**6
     )
+
+
+@pytest.mark.parametrize("kern,aph,pos_spread", [
+    # a_eff/h calibrated on THIS (collocated spectral) solver; the
+    # reference's 0.91/1.255 are staggered-grid constants (FIB.cuh:27-33).
+    # pos_spread is the grid-position dependence band — the '~3 digits'
+    # class the reference ladder quotes for Peskin kernels
+    # (fcm_test.cu:19-28).
+    ("peskin3pt", 0.990, 0.03),
+    ("peskin4pt", 1.311, 0.02),
+])
+def test_peskin_rung(kern, aph, pos_spread):
+    """Kernel-selectable FCM (reference: FCM_kernels.cuh, FCM_impl.cuh:36):
+    h-locked Peskin kernels reproduce the calibrated a_eff = c*h self-
+    mobility (mean over grid positions, 1%) with bounded position spread."""
+    import numpy as onp
+
+    L = 32.0
+    b = box(L, dtype=jnp.float64)
+    fcm = FCM.create(b, viscosity=ETA, radius=2.0, kernel=kern)
+    assert fcm.support == (3 if kern == "peskin3pt" else 4)
+    h = L / fcm.shape[0]
+    a_eff = aph * h
+    rng = onp.random.default_rng(3)
+    f = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+    ms = [
+        float(fcm.compute_mf(
+            jnp.asarray(rng.uniform(-L / 2, L / 2, (1, 3)), jnp.float64), f
+        )[0, 0])
+        for _ in range(6)
+    ]
+    ms = onp.asarray(ms)
+    m_th = want_for(a_eff, ETA, L)
+    assert abs(ms.mean() - m_th) / m_th < 0.01, (ms.mean(), m_th)
+    assert (ms.max() - ms.min()) / ms.mean() < pos_spread, ms
+
+
+def test_bm_kernel_far_field_matches_gaussian():
+    """The ES/BM kernel plugs into FCM; at separations >> a the pair
+    mobility is kernel-independent, so BM and Gaussian FCM must agree."""
+    L = 32.0
+    b = box(L, dtype=jnp.float64)
+    pos = jnp.asarray([[-8.0, 0.0, 0.0], [8.0, 0.0, 0.0]], jnp.float64)
+    f = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]], jnp.float64)
+    g = FCM.create(b, viscosity=ETA, radius=1.0, points_per_radius=3.0,
+                   support=12)
+    bm = FCM.create(b, viscosity=ETA, radius=1.0, points_per_radius=3.0,
+                    kernel="bm", support=8)
+    ug = g.compute_mf(pos, f)
+    ub = bm.compute_mf(pos, f)
+    # cross-mobility (velocity of the force-free particle)
+    np.testing.assert_allclose(
+        np.asarray(ub[1]), np.asarray(ug[1]), rtol=0.02, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(ub)).all()
+
+
+def test_torque_requires_gaussian():
+    b = box(16.0, dtype=jnp.float64)
+    fcm = FCM.create(b, radius=1.5, kernel="peskin3pt")
+    pos = jnp.zeros((1, 3), jnp.float64)
+    f = jnp.ones((1, 3), jnp.float64)
+    with pytest.raises(NotImplementedError):
+        fcm.compute_hydrodynamic_displacements(pos, f, torques=f)

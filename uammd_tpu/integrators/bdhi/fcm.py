@@ -28,7 +28,54 @@ import numpy as np
 
 from ...core.box import Box
 from ...core.grid import next_fft_size
-from ...solvers.ibm import (GaussianKernel, interpolate_auto as interpolate, spread_auto as spread)
+from ...solvers.ibm import (
+    BMKernel,
+    GaussianKernel,
+    Peskin3pt,
+    Peskin4pt,
+    interpolate_auto as interpolate,
+    spread_auto as spread,
+)
+
+# Effective hydrodynamic radius of the h-locked IBM kernels, in grid
+# spacings, MEASURED on this solver (collocated spectral Stokes; see
+# tests/test_fcm_accuracy_ladder.py Peskin rungs). The reference quotes
+# 0.91 h (Peskin 3pt) / 1.255 h (4pt) for its staggered-grid solvers
+# (FIB.cuh:27-33, FCM_kernels.cuh) — the constant is discretization-
+# dependent, and on the collocated grid it calibrates to:
+PESKIN_RADIUS_PER_H = {"peskin3pt": 0.990, "peskin4pt": 1.311}
+
+_BM_NORM_CACHE: dict = {}
+
+
+def _bm_norm(beta: float, support: int) -> float:
+    """Continuous integral of the un-normalized ES window over its support
+    (in units of h); the lattice sum matches it to spectral accuracy, so
+    dividing by it makes spreading conserve the spread quantity."""
+    key = (float(beta), int(support))
+    if key not in _BM_NORM_CACHE:
+        xs = np.linspace(-1.0, 1.0, 4001)
+        val = np.exp(beta * (np.sqrt(np.maximum(1.0 - xs * xs, 0.0)) - 1.0))
+        _BM_NORM_CACHE[key] = float(
+            np.trapezoid(val, xs) * support / 2.0
+        )
+    return _BM_NORM_CACHE[key]
+
+
+@dataclasses.dataclass(frozen=True)
+class _NormalizedBM:
+    """BMKernel (solvers/ibm.py) with unit-sum normalization for FCM use."""
+
+    beta: float
+    support: int = 6
+
+    def phi(self, r):
+        w = float(self.support)
+        x = 2.0 * r / w
+        inside = jnp.abs(x) < 1.0
+        xs = jnp.where(inside, x, 0.0)
+        val = jnp.exp(self.beta * (jnp.sqrt(1.0 - xs * xs) - 1.0))
+        return jnp.where(inside, val, 0.0) / _bm_norm(self.beta, w)
 
 
 def _wavevectors(shape, box_size, dtype=jnp.float32):
@@ -105,12 +152,57 @@ class FCM:
     # exponentially (reference: FarField.cuh hashimoto factor,
     # (1 + k^2/4 xi^2) exp(-k^2/4 xi^2)); use hasimoto_k2 = sigma_split^2.
     hasimoto_k2: float | None = None
+    # window kernel: "gaussian" (radius-parameterized) or one of the
+    # h-locked kernels "peskin3pt" / "peskin4pt" / "bm" (reference kernel
+    # selection: FCM_kernels.cuh, FCM_impl.cuh:36)
+    kernel: str = "gaussian"
+    bm_beta: float | None = None
 
     @staticmethod
     def create(box: Box, viscosity=1.0, radius=1.0, points_per_radius=3.0,
                support=12, prefer_pow2=False, rpy_sinc_radius=None,
-               hasimoto_k2=None):
+               hasimoto_k2=None, kernel="gaussian", bm_beta=None):
         Ls = [float(s) for s in jax.device_get(box.size)]
+        if kernel in PESKIN_RADIUS_PER_H:
+            # h-locked kernels: the hydrodynamic radius is a fixed multiple
+            # of the grid spacing (a = c * h), so the requested radius
+            # picks h, and the support is the kernel's own
+            c = PESKIN_RADIUS_PER_H[kernel]
+            h = radius / c
+            nominal = [max(8, int(math.ceil(L / h))) for L in Ls]
+            shape = tuple(
+                next_fft_size(n0, prefer_pow2, tile_safe_support=4,
+                              pencil_safe=True)
+                for n0 in nominal
+            )
+            return FCM(
+                box=box, viscosity=viscosity, radius=radius, shape=shape,
+                support=3 if kernel == "peskin3pt" else 4,
+                box_size=tuple(Ls), rpy_sinc_radius=rpy_sinc_radius,
+                hasimoto_k2=hasimoto_k2, kernel=kernel,
+            )
+        if kernel == "bm":
+            # ES/BM kernel: support in grid points as passed (default the
+            # DPStokes-style w=6), beta defaulting to the Barnett-Magland
+            # tuning beta = 1.3267 w used by the reference's BM tables
+            nominal = [max(8, int(math.ceil(L * points_per_radius / radius)))
+                       for L in Ls]
+            shape = tuple(
+                next_fft_size(n0, prefer_pow2,
+                              tile_safe_support=support if support <= 8
+                              else None,
+                              pencil_safe=support <= 16)
+                for n0 in nominal
+            )
+            return FCM(
+                box=box, viscosity=viscosity, radius=radius, shape=shape,
+                support=support, box_size=tuple(Ls),
+                rpy_sinc_radius=rpy_sinc_radius, hasimoto_k2=hasimoto_k2,
+                kernel="bm",
+                bm_beta=float(bm_beta) if bm_beta is not None
+                else 1.3267 * support,
+            )
+        assert kernel == "gaussian", f"unknown FCM kernel {kernel!r}"
         nominal = [max(8, int(math.ceil(L * points_per_radius / radius)))
                    for L in Ls]
         shape = tuple(
@@ -167,10 +259,23 @@ class FCM:
         return self.radius / (6.0 * math.sqrt(math.pi)) ** (1.0 / 3.0)
 
     def _kernel(self, dtype=jnp.float32):
+        if self.kernel == "peskin3pt":
+            return Peskin3pt()
+        if self.kernel == "peskin4pt":
+            return Peskin4pt()
+        if self.kernel == "bm":
+            return _NormalizedBM(beta=self.bm_beta, support=self.support)
         h = self.box_size[0] / self.shape[0]
         return GaussianKernel(sigma=self.sigma / h, support=self.support)
 
     def _kernel_torque(self, dtype=jnp.float32):
+        if self.kernel != "gaussian":
+            raise NotImplementedError(
+                "torque coupling needs the Gaussian rotlet envelope; "
+                f"kernel={self.kernel!r} supports forces only (reference "
+                "limits the non-Gaussian FCM kernels the same way, "
+                "FCM_kernels.cuh)"
+            )
         h = self.box_size[0] / self.shape[0]
         return GaussianKernel(sigma=self.sigma_torque / h,
                               support=self.support)
