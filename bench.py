@@ -128,6 +128,10 @@ def _bench_pse_once(n, steps, far_grid, lanczos_iterations, *,
         tolerance=1e-4, lanczos_iterations=lanczos_iterations or 10,
         pos=pos,
         n_strag=n_strag,
+        # near-grid skin: larger cells buy rebin-cadence headroom (the
+        # 20/40-steps repack of BENCH_r04) at O(CAP) near-matvec cost;
+        # default measured on-device (scripts/probe_pse_skin.py, round 5)
+        near_skin=float(os.environ.get("BENCH_PSE_SKIN", "1.0")),
     )
     if far_cap_extra:
         be = dataclasses.replace(be, far_cap_extra=int(far_cap_extra))

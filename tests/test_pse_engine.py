@@ -500,3 +500,32 @@ def test_fused_mf_and_noise_matches_separate(n_strag):
                 np.asarray(jax.device_get(got)),
                 np.asarray(jax.device_get(ref)),
                 rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_vmem_fallback_unfused_path():
+    """When the fused 6-channel pass is ruled out (VMEM probe failure on
+    hardware; forced here via the cache), _near_mf_and_noise must route
+    through the unfused near_matvec + noise passes and reproduce them
+    bitwise (same RNG stream)."""
+    from uammd_tpu.engine.layout import pack_channels
+
+    rng = np.random.default_rng(7)
+    n, L = 160, 24.0
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    F = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    be = PSEGrid.create(b, n, radius=1.0, xi=0.4, tolerance=1e-3,
+                        lanczos_iterations=4, pos=pos, n_strag=32, cap=8)
+    assert be._fused_near_ok() is True  # CPU: no VMEM constraint
+    object.__setattr__(be, "_fused_near_ok_cache", False)
+    cg = pack_channels(be.spec, pos, F)
+    key = jax.random.key(3)
+    sf3 = cg.schannels
+    v3, sv3, b3, b3s, _ = be._near_mf_and_noise(cg, *cg.channels, sf3, key)
+    rvx, rvy, rvz, rsv3 = be.near_matvec_slots(cg, *cg.channels, sf3=sf3)
+    rbx, rby, rbz, rb3s, _ = be._near_noise_slots(cg, key)
+    for got, ref in zip(v3 + b3 + tuple(sv3) + tuple(b3s),
+                        (rvx, rvy, rvz, rbx, rby, rbz) + tuple(rsv3)
+                        + tuple(rb3s)):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(got)), np.asarray(jax.device_get(ref)))

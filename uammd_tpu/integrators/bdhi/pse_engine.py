@@ -137,6 +137,7 @@ class PSEGrid:
         far_grid: int | None = None,
         n_strag: int = 0,
         nz_multiple: int = 1,
+        near_skin: float = 1.0,
     ):
         """``far_grid`` overrides xi by pinning the far-field FFT size per
         axis (e.g. 128 for a pow2-friendly TPU FFT): the Ewald split is
@@ -190,8 +191,12 @@ class PSEGrid:
         # 1.5x headroom (not the LJ engine's 3x): the grid is repacked from
         # scratch every step, so a drifting configuration can't accumulate
         # stragglers — only the instantaneous occupancy tail matters.
+        # ``near_skin`` > 1 trades near-matvec cost (bigger cells -> larger
+        # CAP) for rebin cadence (drift slack (cell - rcut)/2 grows from
+        # the quantization leftover to ~(skin-1)*rcut/2): the lever named
+        # in docs/PERF.md round 3-4 against the every-other-step repack.
         spec = choose_spec(
-            Ls, n, rcut, skin=1.0, cap=cap, pos=pos,
+            Ls, n, rcut, skin=float(near_skin), cap=cap, pos=pos,
             n_strag=n_strag, strag_cell_excess=1 << 30,
             strag_headroom=1.5, nz_multiple=nz_multiple,
         )
@@ -418,12 +423,75 @@ class PSEGrid:
                      for p, s, f in zip(svb, ssb, sf3b))
         return va, vb, sv3a, sv3b
 
+    # Measured-good envelope (cap, n_strag, nlane) of the fused 6-channel
+    # near pass under the 112 MB Mosaic VMEM scope (docs/PERF.md round 4:
+    # ~103 MB at the bench corner cap 32 / S 192 / nlane 128). Knob bumps
+    # beyond it probe-compile the kernel once and, on failure, drop to the
+    # unfused two-pass path instead of failing the whole program.
+    FUSED_NEAR_ENVELOPE = (32, 192, 128)
+
+    def _fused_near_ok(self) -> bool:
+        cached = self.__dict__.get("_fused_near_ok_cache")
+        if cached is not None:
+            return cached
+        ok = True
+        if jax.default_backend() == "tpu":
+            c_max, s_max, l_max = self.FUSED_NEAR_ENVELOPE
+            spec = self.spec
+            if (spec.cap > c_max or spec.n_strag > s_max
+                    or spec.nlane > l_max):
+                ok = self._probe_fused_near()
+        object.__setattr__(self, "_fused_near_ok_cache", ok)
+        return ok
+
+    def _probe_fused_near(self) -> bool:
+        """Compile the 6-channel kernel on a minimal-nz grid (per-program
+        VMEM is nz-independent); False -> callers use the unfused path."""
+        import dataclasses as _dc
+        import warnings
+
+        spec = _dc.replace(
+            self.spec, shape=(self.spec.shape[0], self.spec.shape[1], 3)
+        )
+        pf, pbf = self._pair_fn(2)
+        kern = make_pair_channel_kernel(spec, pf, 6, 6, pair_both_fn=pbf)
+        z = jnp.zeros(spec.array_shape, jnp.float32)
+        kwargs = {}
+        if spec.n_strag:
+            kwargs["strag"] = jnp.zeros(
+                (10, spec.n_strag, spec.nlane), jnp.float32
+            )
+        try:
+            kern.lower(*([z] * 9), **kwargs).compile()
+            return True
+        except Exception as e:  # Mosaic VMEM / scoped-allocation failures
+            warnings.warn(
+                "fused 6-channel near pass does not fit VMEM at "
+                f"cap={self.spec.cap} S={self.spec.n_strag} "
+                f"nlane={self.spec.nlane}; using the unfused path ({e})"
+            )
+            return False
+
     def _near_mf_and_noise(self, cg: ChannelGrid, fx, fy, fz, sf3, key):
         """Fused near-field M F + sqrt(M_near) dW: the M F matvec rides the
         FIRST Lanczos matvec in one 6-channel kernel pass (near_matvec2 +
         lanczos_sqrt_apply's peeled ``w0``), saving one full operator
         application per EM step. Returns (v3, sv3, b3, bs3, res) with the
-        same RNG draws as _near_noise_slots (bitwise-matching keys)."""
+        same RNG draws as _near_noise_slots (bitwise-matching keys).
+
+        When the 6-channel pass exceeds the VMEM scope (_fused_near_ok),
+        falls back to the unfused M F + noise passes — identical results
+        (the RNG streams match bitwise), one extra operator application."""
+        if not self._fused_near_ok():
+            if self.spec.n_strag:
+                vxu, vyu, vzu, sv3u = self.near_matvec_slots(
+                    cg, fx, fy, fz, sf3=sf3
+                )
+            else:
+                vxu, vyu, vzu = self.near_matvec_slots(cg, fx, fy, fz)
+                sv3u = None
+            bx, by, bz, b3su, res_u = self._near_noise_slots(cg, key)
+            return (vxu, vyu, vzu), sv3u, (bx, by, bz), b3su, res_u
         shape = cg.x.shape
         S = self.spec.n_strag
         T = int(np.prod(shape))
