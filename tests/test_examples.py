@@ -19,6 +19,8 @@ SLOW = [
     "examples/tutorial/03_interacting_particles.py",
     "examples/tutorial/05_measuring.py",
     "examples/tutorial/07_multiple_types.py",
+    "examples/tutorial/08_your_first_integrator.py",
+    "examples/tutorial/09_your_first_interactor.py",
     "examples/integration_schemes.py",
     "examples/interaction_modules.py",
     "examples/dambreak.py",
