@@ -131,10 +131,14 @@ def main():
 
     timed(outer, (wx0, wy0, wz0, pv0), "outer_products")
 
-# NOTE: wxy0/q0 cannot be carried through the timed scan — ~485 MB of
+    # NOTE: wxy0/q0 cannot be carried through the timed scan — ~485 MB of
     # carry exceeds the remote-compile body limit on the tunnel. Build them
     # inside the jit from the ~125 MB weight set instead; the printed number
     # therefore INCLUDES the outer products (subtract "outer_products").
+
+    # chunk size for the lax.map variants: a divisor of npen near 54
+    # (npen = (FAR/PENCIL)^2 varies with PROBE_FAR_GRID)
+    chunk_n = next(c for c in range(54, 0, -1) if npen % c == 0)
 
     def contract(x):
         wx, wy, wz, pv = x
@@ -162,7 +166,7 @@ def main():
 
         out = jax.lax.map(
             one,
-            tuple(a.reshape(-1, 54, *a.shape[1:])
+            tuple(a.reshape(-1, chunk_n, *a.shape[1:])
                   for a in (wx, wy, wz, pv)),
         )
         return (wx + 1e-12 * out.sum(), wy, wz, pv)
@@ -183,7 +187,7 @@ def main():
 
         out = jax.lax.map(
             one,
-            tuple(a.reshape(-1, 54, *a.shape[1:])
+            tuple(a.reshape(-1, chunk_n, *a.shape[1:])
                   for a in (wx, wy, wz, pv)),
         )
         return (wx + 1e-12 * out.sum(), wy, wz, pv)
