@@ -8,6 +8,7 @@ import pytest
 from uammd_tpu.core.box import box
 from uammd_tpu.neighbors.neighbor_list import build_neighbor_list
 from uammd_tpu.integrators.bdhi.pse import PSE
+from uammd_tpu.engine.pair_kernel import broadcast_strag_channels
 from uammd_tpu.integrators.bdhi.pse_engine import PSEGrid
 
 
@@ -529,3 +530,53 @@ def test_vmem_fallback_unfused_path():
                         + tuple(rb3s)):
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(got)), np.asarray(jax.device_get(ref)))
+
+
+@pytest.mark.parametrize("nvec", [1, 2])
+def test_newton_channel_kernel_matches_27stencil(nvec):
+    """The Newton-halved channel kernel (kernel2.make_newton_channel_kernel,
+    the TPU production matvec path) must reproduce the 27-stencil kernel's
+    near matvec on the same pack — straggler rows included — to float
+    round-off (each pair is summed in a different order)."""
+    import math
+
+    from uammd_tpu.core.box import box as mkbox
+    from uammd_tpu.engine.layout import pack_channels
+    from uammd_tpu.utils.lattices import lattice
+
+    n = 512
+    phi, radius = 0.08, 1.0
+    L = (n * (4.0 / 3.0) * math.pi * radius**3 / phi) ** (1.0 / 3.0)
+    rng = np.random.default_rng(3)
+    base = np.asarray(lattice(n - 20, L, "fcc"))
+    # a 20-row clump in one region forces straggler rows
+    clump = rng.uniform(-2.0, 2.0, (20, 3)) + 3.0
+    pos = jnp.asarray(np.concatenate([base, clump]), jnp.float32)
+    be = PSEGrid.create(
+        mkbox(L), n, viscosity=1.0, radius=radius, far_grid=32,
+        tolerance=1e-3, lanczos_iterations=3, pos=pos, n_strag=48,
+    )
+    cg = pack_channels(
+        be.spec, pos,
+        jnp.asarray(rng.normal(size=(n, 3 * nvec)), jnp.float32),
+    )
+    assert int(np.asarray((cg.spid >= 0).sum())) > 0, "want stragglers"
+    chans = [cg.channels[c] for c in range(3 * nvec)]
+    schans = [cg.schannels[c] for c in range(3 * nvec)]
+    blk = broadcast_strag_channels(be.spec, cg.spos, tuple(schans), cg.spid)
+
+    k27 = be._kernel(nvec, newton=False)
+    knt = be._kernel(nvec, newton=True)
+    o27 = k27(cg.x, cg.y, cg.z, *chans, strag=blk)
+    ont = knt(cg.x, cg.y, cg.z, *chans, strag=blk)
+    scale = float(jnp.max(jnp.abs(jnp.stack(o27[: 3 * nvec]))))
+    for c in range(3 * nvec):
+        np.testing.assert_allclose(
+            np.asarray(ont[c]), np.asarray(o27[c]),
+            atol=2e-5 * scale, rtol=0,
+        )
+    # straggler partials: compare the reduced totals
+    for c in range(3 * nvec):
+        a = np.asarray(jnp.sum(o27[3 * nvec + c], axis=(0, 1, 3)))
+        bvec = np.asarray(jnp.sum(ont[3 * nvec + c], axis=(0, 1, 3)))
+        np.testing.assert_allclose(bvec, a, atol=2e-5 * scale, rtol=0)

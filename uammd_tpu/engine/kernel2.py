@@ -659,3 +659,358 @@ def straggler_pair_forces(spec: GridSpec, g_fn, spos, spid,
     ok = (r2 < rc2) & (r2 > 1e-10) & val[None, :] & val[:, None]
     g = jnp.where(ok, g_fn(jnp.maximum(r2, np.float32(clamp_lo))), 0.0)
     return jnp.sum(g[:, :, None] * d, axis=1)
+
+
+def make_fold_kernel_n(spec: GridSpec, n: int, *,
+                       interpret: bool | None = None):
+    """n-channel generalization of make_fold_kernel:
+    fold(home[n], groups[4][n]) -> tuple of n folded grids."""
+    nz, nyb, cap, nlane = spec.array_shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(*refs):
+        ins = refs[: 5 * n]
+        outs = refs[5 * n:]
+        for c in range(n):
+            acc = ins[c][0, 0, :, :]
+            for gi in range(4):
+                acc = acc + ins[n + gi * n + c][0, 0, :, :]
+            outs[c][0, 0, :, :] = acc
+
+    home_spec = pl.BlockSpec(
+        (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [home_spec] * n
+    for (dz, dyb) in REACTION_GROUPS:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, cap, nlane),
+                functools.partial(
+                    _blk_index, dz=-dz, dyb=-dyb, nz=nz, nyb=nyb
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        ] * n
+
+    @jax.jit
+    def fold(home, groups):
+        args = list(home)
+        for g in groups:
+            args += list(g)
+        return pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=[home_spec] * n,
+            out_shape=[
+                jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+            ] * n,
+            interpret=interpret,
+        )(*args)
+
+    return fold
+
+
+def fold_reactions_n_jnp(home, groups):
+    """XLA mirror of make_fold_kernel_n."""
+    out = list(home)
+    for (dz, dyb), g in zip(REACTION_GROUPS, groups):
+        for c in range(len(out)):
+            out[c] = out[c] + jnp.roll(g[c], shift=(dz, dyb), axis=(0, 1))
+    return tuple(out)
+
+
+def make_newton_channel_kernel(
+    spec: GridSpec,
+    pair_both_fn: Callable,
+    n_chan: int,
+    n_out: int,
+    *,
+    interpret: bool | None = None,
+    fold_in_pallas: bool | None = None,
+):
+    """Newton-halved channel transverser: drop-in for
+    pair_kernel.make_pair_channel_kernel with the same output contract
+    (``apply(x, y, z, *channels[, strag]) -> n_out grids [+ n_out
+    straggler-partial grids]``), but each unordered cell-block pair is
+    enumerated ONCE — the reverse contribution comes from
+    ``pair_both_fn``'s second output, reduced over the home axis, rotated
+    back to candidate lane coordinates and folded via the four reaction
+    groups exactly as make_newton_pair_kernel does for forces. The shared
+    radial evaluation (the dominant PSE pair cost, deg-12 Horner x4) is
+    paid once per pair instead of twice, so a matvec pass costs ~0.55x
+    the 27-stencil kernel (reference exploits the same symmetry by
+    thread-per-particle accumulation, src/Interactor/PairForces.cu).
+
+    ``pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j) -> (fwd, bwd)`` must be
+    pure broadcasting arithmetic; ``fwd`` are contributions to the home
+    rows (summed over axis 1), ``bwd`` to the candidate rows (summed over
+    axis 0). The self block runs full all-pairs with ``fwd`` only (every
+    ordered in-cell pair enumerated), so pair_both_fn must be self-safe
+    exactly as in the 27-stencil kernel.
+    """
+    nx, ny, nz = spec.shape
+    F = spec.fold
+    nyb, cap, nlane = spec.nyb, spec.cap, spec.nlane
+    S = spec.n_strag
+    Lx, Ly, Lz = (np.float32(v) for v in spec.box_size)
+    iLx, iLy, iLz = (np.float32(1.0 / v) for v in spec.box_size)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if fold_in_pallas is None:
+        fold_in_pallas = not interpret
+
+    blocks_needed = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    nblk = len(blocks_needed)
+    n_arr = 3 + n_chan
+    n_in = nblk * n_arr + (1 if S else 0)
+    n_raw = 5 * n_out + (n_out if S else 0)  # home + 4 groups (+ strag)
+
+    # home-axis chunking (see make_pair_channel_kernel): 14 candidate
+    # blocks live instead of 27
+    budget = 48 * 1024 * 1024 // (
+        (14 * 2 * n_arr * cap + (24 * S if S else 0)) * nlane * 4
+    )
+    home_chunk = cap
+    while home_chunk > 8 and home_chunk > budget:
+        home_chunk //= 2
+    if cap % home_chunk != 0:
+        home_chunk = 8
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:]
+        zpid = pl.program_id(0)
+        ypid = pl.program_id(1)
+        consts = _lane_constants(spec)
+
+        blocks = {}
+        for k, (dz, dyb) in enumerate(blocks_needed):
+            arrs = [ins[a * nblk + k][0, 0, :, :] for a in range(n_arr)]
+            if dyb == 1:
+                arrs[1] = arrs[1] + jnp.where(ypid == nyb - 1, Ly, 0.0)
+            elif dyb == -1:
+                arrs[1] = arrs[1] + jnp.where(ypid == 0, -Ly, 0.0)
+            if dz == 1:
+                arrs[2] = arrs[2] + jnp.where(zpid == nz - 1, Lz, 0.0)
+            blocks[(dz, dyb)] = arrs
+
+        home = blocks[(0, 0)]
+        grp = {
+            g: [jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_out)]
+            for g in REACTION_GROUPS
+        }
+        homeacc = [
+            jnp.zeros((cap, nlane), jnp.float32) for _ in range(n_out)
+        ]
+
+        if S:
+            sblk = ins[nblk * n_arr][:, :, :]  # [n_arr + 1, S, nlane]
+            sx = sblk[0][None, :, :]
+            sy = sblk[1][None, :, :]
+            sz = sblk[2][None, :, :]
+            ch_s = [sblk[3 + c][None, :, :] for c in range(n_chan)]
+            sval = sblk[n_arr][None, :, :] > 0.5
+            saccs = [
+                jnp.zeros((S, nlane), jnp.float32) for _ in range(n_out)
+            ]
+
+        def hslice(a, h0):
+            return jax.lax.slice_in_dim(a, h0, h0 + home_chunk, axis=0)
+
+        for h0 in range(0, cap, home_chunk):
+            hs = slice(h0, h0 + home_chunk)
+            xi_ = hslice(home[0], h0)[:, None, :]
+            yi_ = hslice(home[1], h0)[:, None, :]
+            zi_ = hslice(home[2], h0)[:, None, :]
+            ch_i = [
+                hslice(home[3 + c], h0)[:, None, :] for c in range(n_chan)
+            ]
+            accs = [
+                jnp.zeros((home_chunk, nlane), jnp.float32)
+                for _ in range(n_out)
+            ]
+
+            # ---- self block: full all-pairs, fwd only
+            dxv = home[0][None, :, :] - xi_
+            dyv = home[1][None, :, :] - yi_
+            dzv = home[2][None, :, :] - zi_
+            r2 = dxv * dxv + dyv * dyv + dzv * dzv
+            ch_j = [home[3 + c][None, :, :] for c in range(n_chan)]
+            fwd, _ = pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+            for o in range(n_out):
+                accs[o] = accs[o] + jnp.sum(fwd[o], axis=1)
+
+            # ---- positive offsets: compute once, route the reverse back
+            for (dz, dy, dx) in POS_OFFSETS:
+                infold = consts[("infold", dy)]
+                sgn = 0 if dy == 0 else (1 if dy > 0 else -1)
+                src_self = blocks[(dz, 0)]
+                src_nbr = blocks[(dz, sgn)] if sgn != 0 else src_self
+                s_in = dx * F + dy
+                s_out = s_in - sgn * F
+                if sgn != 0:
+                    cand = [
+                        jnp.where(
+                            infold,
+                            _shift_lanes(src_self[a], s_in, interpret),
+                            _shift_lanes(src_nbr[a], s_out, interpret),
+                        )
+                        for a in range(n_arr)
+                    ]
+                else:
+                    cand = [
+                        _shift_lanes(src_self[a], s_in, interpret)
+                        for a in range(n_arr)
+                    ]
+                if consts[("xshift", dx)] is not None:
+                    cand[0] = cand[0] + consts[("xshift", dx)]
+
+                dxv = cand[0][None, :, :] - xi_
+                dyv = cand[1][None, :, :] - yi_
+                dzv = cand[2][None, :, :] - zi_
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                ch_j = [cand[3 + c][None, :, :] for c in range(n_chan)]
+                fwd, bwd = pair_both_fn(r2, dxv, dyv, dzv, ch_i, ch_j)
+                for o in range(n_out):
+                    accs[o] = accs[o] + jnp.sum(fwd[o], axis=1)
+                    # reverse contribution on the candidates, reduced over
+                    # the home chunk, still in home-lane coordinates
+                    r = jnp.sum(bwd[o], axis=0)
+                    if sgn != 0:
+                        rin = _shift_lanes(
+                            jnp.where(infold, r, 0.0), -s_in, interpret
+                        )
+                        rout = _shift_lanes(
+                            jnp.where(infold, 0.0, r), -s_out, interpret
+                        )
+                        if dz == 0:
+                            homeacc[o] = homeacc[o] + rin
+                        else:
+                            grp[(dz, 0)][o] = grp[(dz, 0)][o] + rin
+                        grp[(dz, sgn)][o] = grp[(dz, sgn)][o] + rout
+                    else:
+                        rin = _shift_lanes(r, -s_in, interpret)
+                        if dz == 0:
+                            homeacc[o] = homeacc[o] + rin
+                        else:
+                            grp[(dz, 0)][o] = grp[(dz, 0)][o] + rin
+
+            # ---- straggler broadcast block (both directions, min image)
+            if S:
+                dxv = sx - xi_
+                dyv = sy - yi_
+                dzv = sz - zi_
+                dxv = dxv - Lx * jnp.round(dxv * iLx)
+                dyv = dyv - Ly * jnp.round(dyv * iLy)
+                dzv = dzv - Lz * jnp.round(dzv * iLz)
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                ok = sval & (xi_ < np.float32(1.0e8))
+                r2m = jnp.where(ok, r2, np.float32(1.0e18))
+                fwd, bwd = pair_both_fn(r2m, dxv, dyv, dzv, ch_i, ch_s)
+                for o in range(n_out):
+                    accs[o] = accs[o] + jnp.sum(fwd[o], axis=1)
+                    saccs[o] = saccs[o] + jnp.sum(bwd[o], axis=0)
+
+            for o in range(n_out):
+                outs[o][0, 0, hs, :] = accs[o]
+
+        # home-targeted reverse contributions + group writes (full cap)
+        for o in range(n_out):
+            outs[o][0, 0, :, :] = outs[o][0, 0, :, :] + homeacc[o]
+        k = n_out
+        for gkey in REACTION_GROUPS:
+            for o in range(n_out):
+                outs[k][0, 0, :, :] = grp[gkey][o]
+                k += 1
+        if S:
+            for o in range(n_out):
+                outs[k][0, 0, :, :] = saccs[o]
+                k += 1
+
+    def block_spec(dz, dyb):
+        return pl.BlockSpec(
+            (1, 1, cap, nlane),
+            functools.partial(_blk_index, dz=dz, dyb=dyb, nz=nz, nyb=nyb),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        block_spec(dz, dyb)
+        for _ in range(n_arr)
+        for (dz, dyb) in blocks_needed
+    ]
+    if S:
+        in_specs.append(
+            pl.BlockSpec(
+                (n_arr + 1, S, nlane), lambda z, yb: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_spec = pl.BlockSpec(
+        (1, 1, cap, nlane), lambda z, yb: (z, yb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [out_spec] * (5 * n_out)
+    out_shape = [
+        jax.ShapeDtypeStruct((nz, nyb, cap, nlane), jnp.float32)
+    ] * (5 * n_out)
+    if S:
+        out_specs += [
+            pl.BlockSpec(
+                (1, 1, S, nlane), lambda z, yb: (z, yb, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * n_out
+        out_shape += [
+            jax.ShapeDtypeStruct((nz, nyb, S, nlane), jnp.float32)
+        ] * n_out
+
+    bytes_per_block = cap * nlane * 4
+    cost = pl.CostEstimate(
+        flops=nz * nyb * (14 * cap + 2 * S) * cap * nlane
+        * (20 + 6 * n_chan),
+        bytes_accessed=nz * nyb * (nblk * n_arr + n_raw) * bytes_per_block,
+        transcendentals=0,
+    )
+
+    fold = (
+        make_fold_kernel_n(spec, n_out, interpret=interpret)
+        if fold_in_pallas else None
+    )
+
+    @jax.jit
+    def apply(x, y, z, *channels, strag=None):
+        assert len(channels) == n_chan
+        arrs = [x, y, z, *channels]
+        args = [arrs[i // nblk] for i in range(nblk * n_arr)]
+        if S:
+            assert strag is not None
+            args.append(strag)
+        raw = pl.pallas_call(
+            kernel,
+            grid=(nz, nyb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+        home = raw[:n_out]
+        groups = [
+            raw[n_out * (1 + gi): n_out * (2 + gi)] for gi in range(4)
+        ]
+        if fold is not None:
+            folded = fold(home, groups)
+        else:
+            folded = fold_reactions_n_jnp(home, groups)
+        if S:
+            return tuple(folded) + tuple(raw[5 * n_out:])
+        return tuple(folded)
+
+    return apply

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -316,14 +317,32 @@ class PSEGrid:
 
         return pair_fn, pair_both_fn
 
-    def _kernel(self, nvec: int = 1):
-        cache = self.__dict__.setdefault("_kern_cache", {})
-        if nvec not in cache:
-            pf, pbf = self._pair_fn(nvec)
-            cache[nvec] = make_pair_channel_kernel(
-                self.spec, pf, 3 * nvec, 3 * nvec, pair_both_fn=pbf
+    def _kernel(self, nvec: int = 1, newton: bool | None = None):
+        """Near-field channel kernel. On TPU the Newton-halved variant
+        (kernel2.make_newton_channel_kernel) computes each pair once —
+        the deg-12 Horner radial is the dominant pair cost, so a matvec
+        pass drops to ~0.55x the 27-stencil kernel. CPU/interpret runs
+        keep the 27-stencil kernel (bit-stable vs the sharded programs,
+        which ride the same kernel — the self_half precedent)."""
+        if newton is None:
+            newton = jax.default_backend() == "tpu" and not bool(
+                int(os.environ.get("UAMMD_PSE_NO_NEWTON", "0"))
             )
-        return cache[nvec]
+        cache = self.__dict__.setdefault("_kern_cache", {})
+        ck = (nvec, newton)
+        if ck not in cache:
+            pf, pbf = self._pair_fn(nvec)
+            if newton:
+                from ...engine.kernel2 import make_newton_channel_kernel
+
+                cache[ck] = make_newton_channel_kernel(
+                    self.spec, pbf, 3 * nvec, 3 * nvec,
+                )
+            else:
+                cache[ck] = make_pair_channel_kernel(
+                    self.spec, pf, 3 * nvec, 3 * nvec, pair_both_fn=pbf
+                )
+        return cache[ck]
 
     # per-cell overflow depth of the near-grid slot rebin: particles above
     # CAP + this in one cell latch ovf_near (the two-sort pack has no such
