@@ -205,3 +205,41 @@ def test_quasi2d_pencil_matches_direct(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_pencil), np.asarray(g_direct), atol=1e-12
     )
+
+
+def test_fused_pencil_matches_xla_path():
+    """The Pallas-fused spread/interp (the TPU production far path,
+    solvers/pencil_ibm.spread_pencil_fused) must match the XLA einsum
+    path to float round-off, with and without persistent-bin slack."""
+    import numpy as np
+
+    from uammd_tpu.core.box import box
+    from uammd_tpu.solvers.ibm import GaussianKernel
+    from uammd_tpu.solvers.pencil_ibm import (
+        bin_pencils,
+        interpolate_pencil,
+        interpolate_pencil_fused,
+        spread_pencil,
+        spread_pencil_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    n, L, shape = 5000, 24.0, (32, 32, 32)
+    b = box(L)
+    pos = jnp.asarray((rng.random((n, 3)) - 0.5) * L, jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    kern = GaussianKernel(sigma=1.1, support=8)
+    bins = bin_pencils(pos, shape, b)
+    for slack in (0, 1):
+        f0, _ = spread_pencil(kern, pos, vals, shape, b, bins, slack=slack)
+        f1, _ = spread_pencil_fused(kern, pos, vals, shape, b, bins,
+                                    slack=slack)
+        s = float(jnp.max(jnp.abs(f0)))
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   atol=2e-6 * s, rtol=0)
+        v0, _ = interpolate_pencil(kern, pos, f0, b, bins, slack=slack)
+        v1, _ = interpolate_pencil_fused(kern, pos, f0, b, bins,
+                                         slack=slack)
+        sv = float(jnp.max(jnp.abs(v0)))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   atol=2e-6 * sv, rtol=0)

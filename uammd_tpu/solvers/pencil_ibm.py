@@ -33,6 +33,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -262,10 +264,15 @@ def spread_pencil(kernel, pos, values, shape, box: Box, bins: PencilBins,
 
     args = (pu, pv, ox, oy) if zw is None else (pu, pv, ox, oy, zw)
     patch = _chunked(do, args, npen, chunk)                # [npen, P*P, nz*C]
-    patch = patch.reshape(npx, npy, P, P, nz, C)
+    # fold with the fused nz*C minor dim: splitting the trailing axis into
+    # [.., nz, C(=3)] first makes every fold op pay the degenerate-lane
+    # tax (measured round 5 on v5e: 28.9 of the 30.8 ms spread was this
+    # fold; same values, same addition order — the reshape to [nz, C]
+    # commutes with the x/y folds)
+    patch = patch.reshape(npx, npy, P, P, nz * C)
     patch = _fold(patch, halo, axis_p=0, axis_j=2)         # [npx,npy,8,P,..]
     patch = _fold(patch, halo, axis_p=1, axis_j=3)         # [npx,npy,8,8,..]
-    field = patch.transpose(0, 2, 1, 3, 4, 5).reshape(
+    field = patch.transpose(0, 2, 1, 3, 4).reshape(
         npx * PENCIL, npy * PENCIL, nz, C
     ) * inv_dV
     return (field[..., 0] if squeeze else field), bins.overflow
@@ -301,8 +308,11 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
     zw = None if z_weights is None else z_weights[src]     # [npen, cap, nz]
 
     # window per pencil: [npx, npy, P, P, nz, C] built from rolls
-    ft = field.reshape(npx, PENCIL, npy, PENCIL, nz, C).transpose(
-        0, 2, 1, 3, 4, 5
+    # build the window with the fused nz*C minor dim (a [.., nz, C(=3)]
+    # layout pays the degenerate-lane tax on every roll/concat — the
+    # spread-fold lesson, round 5)
+    ft = field.reshape(npx, PENCIL, npy, PENCIL, nz * C).transpose(
+        0, 2, 1, 3, 4
     )
     ftx = jnp.concatenate(
         [
@@ -347,3 +357,238 @@ def interpolate_pencil(kernel, pos, field, box: Box, bins: PencilBins,
     # caller's job via the returned flag (spread_auto/_poison idiom)
     assert out.shape[0] == n
     return (out[:, 0] if squeeze else out), bins.overflow
+
+
+# ---------------------------------------------------------------- fused path
+def _fused_ok(kernel, shape, slack, z_weights, C):
+    import jax as _jax
+
+    return (
+        z_weights is None
+        and C <= 8
+        and _jax.default_backend() == "tpu"
+        and pencil_ok(shape, kernel.support, slack)
+    )
+
+
+def spread_pencil_fused(kernel, pos, values, shape, box: Box,
+                        bins: PencilBins, *, slack=0, density_scale=None,
+                        interpret=None):
+    """Pallas-fused spread: one program per xy-pencil computes the
+    separable weights DIRECTLY in the contraction layouts — wxy at
+    [cap, P^2] and q = wz*v at [cap, nz*C] from lane-index decompositions
+    (no outer-product reshapes, the relayouts that dominate the XLA path;
+    measured round 5: weights+outer+gather ~10 of 13.6 ms per direction)
+    — and feeds one [P^2, cap] x [cap, nz*C] MXU contraction. Bitwise
+    layout/semantics of spread_pencil (same fold + 1/dV path).
+    """
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    C = values.shape[1]
+    halo = _halo(kernel.support) + slack
+    P = PENCIL + 2 * halo
+    npx, npy = shape[0] // PENCIL, shape[1] // PENCIL
+    npen = npx * npy
+    nz = shape[2]
+    dtype = values.dtype
+    h = box.size.astype(dtype) / jnp.asarray(shape, dtype)
+    inv_dV = (1.0 / (h[0] * h[1] * h[2]) if density_scale is None
+              else jnp.asarray(density_scale, dtype))
+    cap = bins.pids.shape[1]
+
+    u = _node_coords(pos, shape, box).astype(dtype)
+    mask = bins.pids > 0
+    src = jnp.maximum(bins.pids - 1, 0)
+    pu = jnp.transpose(u[src], (0, 2, 1))                  # [npen, 3, cap]
+    pv = jnp.where(mask[..., None], values[src], 0)
+    pv = jnp.transpose(pv, (0, 2, 1))                      # [npen, C, cap]
+    nxf = np.float32(shape[0])
+    nyf = np.float32(shape[1])
+    nzf = np.float32(shape[2])
+    Pf2 = P * P
+    NQ = nz * C
+
+    def kern_body(pu_ref, pv_ref, out_ref):
+        pid = pl.program_id(0)
+        ox = ((pid // npy) * PENCIL - halo).astype(jnp.float32)
+        oy = ((pid % npy) * PENCIL - halo).astype(jnp.float32)
+        ux = pu_ref[0, 0, :][:, None]                      # [cap, 1]
+        uy = pu_ref[0, 1, :][:, None]
+        uz = pu_ref[0, 2, :][:, None]
+        # wxy [cap, P^2] straight from the lane decomposition
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cap, Pf2), 1)
+        jx = (lane // P).astype(jnp.float32)
+        jy = (lane - (lane // P) * P).astype(jnp.float32)
+        dx = ox + jx - ux
+        dy = oy + jy - uy
+        dx = dx - nxf * jnp.round(dx / nxf)
+        dy = dy - nyf * jnp.round(dy / nyf)
+        wxy = kernel.phi(dx) * kernel.phi(dy)
+        # q [cap, nz*C]: z = lane // C, channel = lane % C
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (cap, NQ), 1)
+        zq = (laneq // C).astype(jnp.float32)
+        cq = laneq - (laneq // C) * C
+        dz = zq - uz
+        dz = dz - nzf * jnp.round(dz / nzf)
+        wz = kernel.phi(dz)
+        q = jnp.zeros((cap, NQ), jnp.float32)
+        for c in range(C):
+            vc = pv_ref[0, c, :][:, None]
+            q = q + jnp.where(cq == c, wz * vc, 0.0)
+        out_ref[0, :, :] = jax.lax.dot_general(
+            wxy, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    patch = pl.pallas_call(
+        kern_body,
+        grid=(npen,),
+        in_specs=[
+            pl.BlockSpec((1, 3, cap), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, cap), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Pf2, NQ), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npen, Pf2, NQ), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npen * Pf2 * cap * NQ,
+            bytes_accessed=npen * (Pf2 * NQ + (3 + C) * cap) * 4,
+            transcendentals=npen * cap * (2 * Pf2 + NQ),
+        ),
+        interpret=interpret,
+    )(pu, pv)
+
+    # fold with the fused nz*C minor dim: a [.., nz, C(=3)] layout makes
+    # every fold op pay the degenerate-lane tax (measured 28.9 of the
+    # 30.8 ms XLA spread; the contraction itself is 3.7 ms)
+    patch = patch.reshape(npx, npy, P, P, NQ)
+    patch = _fold(patch, halo, axis_p=0, axis_j=2)
+    patch = _fold(patch, halo, axis_p=1, axis_j=3)
+    field = patch.transpose(0, 2, 1, 3, 4).reshape(
+        npx * PENCIL, npy * PENCIL, nz, C
+    ) * inv_dV
+    return (field[..., 0] if squeeze else field), bins.overflow
+
+
+def interpolate_pencil_fused(kernel, pos, field, box: Box,
+                             bins: PencilBins, *, slack=0,
+                             interpret=None):
+    """Pallas-fused adjoint of spread_pencil_fused: per pencil, one
+    [cap, P^2] x [P^2, nz*C] MXU contraction against the XLA-built window
+    followed by the in-register z contraction. Same output convention as
+    interpolate_pencil."""
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    squeeze = field.ndim == 3
+    if squeeze:
+        field = field[..., None]
+    C = field.shape[-1]
+    shape = field.shape[:3]
+    halo = _halo(kernel.support) + slack
+    P = PENCIL + 2 * halo
+    npx, npy = shape[0] // PENCIL, shape[1] // PENCIL
+    npen = npx * npy
+    nz = shape[2]
+    n = pos.shape[0]
+    dtype = field.dtype
+    cap = bins.pids.shape[1]
+    Pf2 = P * P
+    NQ = nz * C
+
+    u = _node_coords(pos, shape, box).astype(dtype)
+    src = jnp.maximum(bins.pids - 1, 0)
+    pu = jnp.transpose(u[src], (0, 2, 1))                  # [npen, 3, cap]
+
+    # build the window with the fused nz*C minor dim (a [.., nz, C(=3)]
+    # layout pays the degenerate-lane tax on every roll/concat — the
+    # spread-fold lesson, round 5)
+    ft = field.reshape(npx, PENCIL, npy, PENCIL, nz * C).transpose(
+        0, 2, 1, 3, 4
+    )
+    ftx = jnp.concatenate(
+        [
+            jnp.roll(ft, 1, axis=0)[:, :, PENCIL - halo:],
+            ft,
+            jnp.roll(ft, -1, axis=0)[:, :, :halo],
+        ],
+        axis=2,
+    )
+    win = jnp.concatenate(
+        [
+            jnp.roll(ftx, 1, axis=1)[:, :, :, PENCIL - halo:],
+            ftx,
+            jnp.roll(ftx, -1, axis=1)[:, :, :, :halo],
+        ],
+        axis=3,
+    ).reshape(npen, Pf2, NQ)
+
+    nxf = np.float32(shape[0])
+    nyf = np.float32(shape[1])
+    nzf = np.float32(shape[2])
+
+    def kern_body(pu_ref, win_ref, out_ref):
+        pid = pl.program_id(0)
+        ox = ((pid // npy) * PENCIL - halo).astype(jnp.float32)
+        oy = ((pid % npy) * PENCIL - halo).astype(jnp.float32)
+        ux = pu_ref[0, 0, :][:, None]
+        uy = pu_ref[0, 1, :][:, None]
+        uz = pu_ref[0, 2, :][:, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cap, Pf2), 1)
+        jx = (lane // P).astype(jnp.float32)
+        jy = (lane - (lane // P) * P).astype(jnp.float32)
+        dx = ox + jx - ux
+        dy = oy + jy - uy
+        dx = dx - nxf * jnp.round(dx / nxf)
+        dy = dy - nyf * jnp.round(dy / nyf)
+        wxy = kernel.phi(dx) * kernel.phi(dy)
+        a = jax.lax.dot_general(
+            wxy, win_ref[0, :, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [cap, NQ]
+        laneq = jax.lax.broadcasted_iota(jnp.int32, (cap, NQ), 1)
+        zq = (laneq // C).astype(jnp.float32)
+        cq = laneq - (laneq // C) * C
+        dz = zq - uz
+        dz = dz - nzf * jnp.round(dz / nzf)
+        s = kernel.phi(dz) * a
+        for c in range(C):
+            out_ref[0, c, :] = jnp.sum(
+                jnp.where(cq == c, s, 0.0), axis=1
+            )
+
+    v = pl.pallas_call(
+        kern_body,
+        grid=(npen,),
+        in_specs=[
+            pl.BlockSpec((1, 3, cap), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pf2, NQ), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, cap), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npen, C, cap), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npen * Pf2 * cap * NQ,
+            bytes_accessed=npen * (Pf2 * NQ + (3 + C) * cap) * 4,
+            transcendentals=npen * cap * (2 * Pf2 + NQ),
+        ),
+        interpret=interpret,
+    )(pu, win)
+
+    out = jnp.transpose(v, (0, 2, 1)).reshape(-1, C)[bins.slot_of_pid]
+    assert out.shape[0] == n
+    return (out[..., 0] if squeeze else out), bins.overflow
