@@ -580,3 +580,31 @@ def test_newton_channel_kernel_matches_27stencil(nvec):
         a = np.asarray(jnp.sum(o27[3 * nvec + c], axis=(0, 1, 3)))
         bvec = np.asarray(jnp.sum(ont[3 * nvec + c], axis=(0, 1, 3)))
         np.testing.assert_allclose(bvec, a, atol=2e-5 * scale, rtol=0)
+
+
+def test_noise_radial_within_lanczos_tolerance():
+    """The shorter noise Horner (create(noise_deg=10)) must keep
+    sqrt(M_near) z within the Lanczos residual tolerance class of the
+    full-degree operator (the accuracy budget that licenses it —
+    reference: LanczosAlgorithm.cuh:40-56 residual loop)."""
+    import math
+
+    from uammd_tpu.core.box import box as mkbox
+    from uammd_tpu.engine.layout import pack_channels
+    from uammd_tpu.utils.lattices import lattice
+
+    n = 512
+    phi = 0.08
+    L = (n * (4.0 / 3.0) * math.pi / phi) ** (1.0 / 3.0)
+    pos = jnp.asarray(lattice(n, L, "fcc"), jnp.float32)
+    kw = dict(viscosity=1.0, radius=1.0, far_grid=32, tolerance=1e-3,
+              lanczos_iterations=8, pos=pos)
+    be10 = PSEGrid.create(mkbox(L), n, noise_deg=10, **kw)
+    be12 = PSEGrid.create(mkbox(L), n, noise_deg=12, **kw)
+    assert be10.fit_error_noise < 1e-3, be10.fit_error_noise
+    cg = pack_channels(be10.spec, pos, jnp.zeros((n, 0), jnp.float32))
+    key = jax.random.key(5)
+    b10 = jnp.stack(be10._near_noise_slots(cg, key)[0:3])
+    b12 = jnp.stack(be12._near_noise_slots(cg, key)[0:3])
+    rel = float(jnp.linalg.norm(b10 - b12) / jnp.linalg.norm(b12))
+    assert rel < 1e-3, rel

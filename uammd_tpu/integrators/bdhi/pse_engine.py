@@ -112,6 +112,10 @@ class PSEGrid:
     self_f: float
     fit_error: float
     lanczos_iterations: int = 12
+    # shorter-Horner radial for the Lanczos-only noise matvecs (None ->
+    # use ``coef``); accuracy bar = the noise residual tolerance
+    coef_noise: tuple | None = None
+    fit_error_noise: float = 0.0
     # patch-halo slack (far-grid points) for persistent pencil bins: the
     # far spread/interp stays exact until some particle drifts slack*h in
     # x/y since the bins were built (see em_state/_refresh)
@@ -131,6 +135,7 @@ class PSEGrid:
         points_per_width: float = 1.1,
         support: int | None = 8,
         deg: int = 12,
+        noise_deg: int = 10,
         lanczos_iterations: int = 12,
         cap: int | None = None,
         prefer_pow2: bool = False,
@@ -216,25 +221,33 @@ class PSEGrid:
         # Chebyshev fit on [-1,1] decay like the Chebyshev ones, so the
         # in-kernel f32 Horner stays well conditioned (a raw power basis on
         # [qb, 1] loses ~3 digits at deg 12).
-        coefs = []
-        scales = []
-        fit_err = 0.0
-        for lo, hi in ((1e-7, qb), (qb, 1.0)):
-            q = np.linspace(lo, hi, 2500)
-            u = (2.0 * q - hi - lo) / (hi - lo)
-            fv, gv = near_fg(q * rcut)
-            for y in (fv, gv):
-                ch = np.polynomial.chebyshev.Chebyshev.fit(u, y, deg,
-                                                           domain=[-1, 1])
-                p = np.polynomial.chebyshev.cheb2poly(ch.coef)
-                fit_err = max(fit_err, float(np.abs(
-                    np.polynomial.polynomial.polyval(u, p) - y
-                ).max() / m0))
-                coefs.append(tuple(float(c) for c in p))
-            scales.append((2.0 / (hi - lo), -(hi + lo) / (hi - lo)))
-        # order collected: (f1, g1, f2, g2) -> store as (f1, f2, g1, g2)
-        coef = (coefs[0], coefs[2], coefs[1], coefs[3])
-        uscale = (scales[0], scales[1])
+        def fit_deg(d):
+            coefs = []
+            scales = []
+            err = 0.0
+            for lo, hi in ((1e-7, qb), (qb, 1.0)):
+                q = np.linspace(lo, hi, 2500)
+                u = (2.0 * q - hi - lo) / (hi - lo)
+                fv, gv = near_fg(q * rcut)
+                for y in (fv, gv):
+                    ch = np.polynomial.chebyshev.Chebyshev.fit(
+                        u, y, d, domain=[-1, 1])
+                    pcs = np.polynomial.chebyshev.cheb2poly(ch.coef)
+                    err = max(err, float(np.abs(
+                        np.polynomial.polynomial.polyval(u, pcs) - y
+                    ).max() / m0))
+                    coefs.append(tuple(float(c) for c in pcs))
+                scales.append((2.0 / (hi - lo), -(hi + lo) / (hi - lo)))
+            # order collected: (f1, g1, f2, g2) -> (f1, f2, g1, g2)
+            return (coefs[0], coefs[2], coefs[1], coefs[3]), tuple(scales), err
+
+        coef, uscale, fit_err = fit_deg(deg)
+        # Lanczos-only noise matvecs may run a shorter Horner: the noise
+        # accuracy bar is the Lanczos residual tolerance (1e-3 class,
+        # LanczosAlgorithm.cuh:40-56), not the deterministic M F
+        # tolerance; deg 10 fits to ~5.5e-4 relative at the bench
+        # geometry (2x margin). M F keeps the full-deg radial.
+        coef_noise, _, fit_err_noise = fit_deg(min(deg, noise_deg))
 
         f0b, _ = _blob_fg(np.array([0.0]), sigma_c, viscosity, a=radius)
         return PSEGrid(
@@ -243,17 +256,20 @@ class PSEGrid:
             uscale=uscale,
             self_f=float(m0 - f0b[0]), fit_error=fit_err,
             lanczos_iterations=lanczos_iterations,
+            coef_noise=coef_noise, fit_error_noise=fit_err_noise,
         )
 
     # ------------------------------------------------------------- kernels
-    def _radial_apply(self):
+    def _radial_apply(self, noise: bool = False):
         rc2 = np.float32(self.rcut * self.rcut)
         inv_rcut = np.float32(1.0 / self.rcut)
         qb = np.float32(self.qb)
-        cf1 = [np.float32(c) for c in self.coef[0]]
-        cf2 = [np.float32(c) for c in self.coef[1]]
-        cg1 = [np.float32(c) for c in self.coef[2]]
-        cg2 = [np.float32(c) for c in self.coef[3]]
+        coef = (self.coef_noise
+                if noise and self.coef_noise is not None else self.coef)
+        cf1 = [np.float32(c) for c in coef[0]]
+        cf2 = [np.float32(c) for c in coef[1]]
+        cg1 = [np.float32(c) for c in coef[2]]
+        cg2 = [np.float32(c) for c in coef[3]]
 
         def horner(cs, q):
             acc = cs[-1]
@@ -287,12 +303,13 @@ class PSEGrid:
 
         return radial, apply_dir
 
-    def _pair_fn(self, nvec: int = 1):
+    def _pair_fn(self, nvec: int = 1, noise: bool = False):
         """Transverser pair functions applying M_near to ``nvec`` stacked
         3-vectors off ONE radial evaluation (the Horner chains dominate the
         pair cost, so a fused multi-vector pass costs far less than nvec
-        passes — used to batch M F with the first Lanczos noise matvec)."""
-        radial, apply_dir = self._radial_apply()
+        passes — used to batch M F with the first Lanczos noise matvec).
+        ``noise=True`` uses the shorter noise-tolerance Horner."""
+        radial, apply_dir = self._radial_apply(noise=noise)
 
         def pair_fn(r2, dxv, dyv, dzv, ch_i, ch_j):
             f, ginv2 = radial(r2)
@@ -317,7 +334,8 @@ class PSEGrid:
 
         return pair_fn, pair_both_fn
 
-    def _kernel(self, nvec: int = 1, newton: bool | None = None):
+    def _kernel(self, nvec: int = 1, newton: bool | None = None,
+                noise: bool = False):
         """Near-field channel kernel. On TPU the Newton-halved variant
         (kernel2.make_newton_channel_kernel) computes each pair once —
         the deg-12 Horner radial is the dominant pair cost, so a matvec
@@ -329,9 +347,9 @@ class PSEGrid:
                 int(os.environ.get("UAMMD_PSE_NO_NEWTON", "0"))
             )
         cache = self.__dict__.setdefault("_kern_cache", {})
-        ck = (nvec, newton)
+        ck = (nvec, newton, noise)
         if ck not in cache:
-            pf, pbf = self._pair_fn(nvec)
+            pf, pbf = self._pair_fn(nvec, noise=noise)
             if newton:
                 from ...engine.kernel2 import make_newton_channel_kernel
 
@@ -367,10 +385,10 @@ class PSEGrid:
         return cache
 
     # --------------------------------------------------------- slot space
-    def _strag_pair_apply(self, spos, spid, sfx, sfy, sfz):
+    def _strag_pair_apply(self, spos, spid, sfx, sfy, sfz, noise=False):
         """O(S^2) straggler-straggler near-field contributions [S] x 3
         (minimum image; the channel kernel only covers grid<->straggler)."""
-        pair_fn, _ = self._pair_fn()
+        pair_fn, _ = self._pair_fn(noise=noise)
         Ls = jnp.asarray(self.spec.box_size, jnp.float32)
         val = spid >= 0
         d = spos[None, :, :] - spos[:, None, :]
@@ -386,25 +404,30 @@ class PSEGrid:
         )
         return tuple(jnp.sum(o, axis=1)[:, 0] for o in out)
 
-    def near_matvec_slots(self, cg: ChannelGrid, fx, fy, fz, sf3=None):
+    def near_matvec_slots(self, cg: ChannelGrid, fx, fy, fz, sf3=None,
+                          noise: bool = False):
         """M_near on slot-space vectors (fx, fy, fz [nz, nyb, CAP, NLANE];
         plus, in straggler mode, sf3 = (sfx, sfy, sfz) [S] rows). Returns
-        the matching (vx, vy, vz[, sv3]) structure."""
+        the matching (vx, vy, vz[, sv3]) structure. ``noise=True`` runs
+        the shorter noise-tolerance Horner (Lanczos matvecs only)."""
         sf = np.float32(self.self_f)
         S = self.spec.n_strag
         if S == 0:
-            vx, vy, vz = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz)
+            vx, vy, vz = self._kernel(noise=noise)(
+                cg.x, cg.y, cg.z, fx, fy, fz)
             return vx + sf * fx, vy + sf * fy, vz + sf * fz
         sfx, sfy, sfz = sf3
         blk = broadcast_strag_channels(
             self.spec, cg.spos, (sfx, sfy, sfz), cg.spid
         )
-        outs = self._kernel()(cg.x, cg.y, cg.z, fx, fy, fz, strag=blk)
+        outs = self._kernel(noise=noise)(
+            cg.x, cg.y, cg.z, fx, fy, fz, strag=blk)
         vx, vy, vz = (o + sf * f for o, f in zip(outs[:3], (fx, fy, fz)))
         # straggler rows: grid->straggler partials + O(S^2) pairs + self
         smask = (cg.spid >= 0).astype(jnp.float32)
+        ss = self._strag_pair_apply(cg.spos, cg.spid, sfx, sfy, sfz,
+                                    noise=noise)
         sv = [jnp.sum(outs[3 + c], axis=(0, 1, 3)) for c in range(3)]
-        ss = self._strag_pair_apply(cg.spos, cg.spid, sfx, sfy, sfz)
         sv3 = tuple(
             (p + s + sf * f) * smask
             for p, s, f in zip(sv, ss, (sfx, sfy, sfz))
@@ -473,7 +496,16 @@ class PSEGrid:
             self.spec, shape=(self.spec.shape[0], self.spec.shape[1], 3)
         )
         pf, pbf = self._pair_fn(2)
-        kern = make_pair_channel_kernel(spec, pf, 6, 6, pair_both_fn=pbf)
+        newton = jax.default_backend() == "tpu" and not bool(
+            int(os.environ.get("UAMMD_PSE_NO_NEWTON", "0"))
+        )
+        if newton:
+            from ...engine.kernel2 import make_newton_channel_kernel
+
+            kern = make_newton_channel_kernel(spec, pbf, 6, 6)
+        else:
+            kern = make_pair_channel_kernel(spec, pf, 6, 6,
+                                            pair_both_fn=pbf)
         z = jnp.zeros(spec.array_shape, jnp.float32)
         kwargs = {}
         if spec.n_strag:
@@ -542,13 +574,15 @@ class PSEGrid:
             if S:
                 gs = g[:, T:]
                 ox, oy, oz, sv3 = self.near_matvec_slots(
-                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2]),
+                    noise=True,
                 )
                 flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
                 return jnp.concatenate(
                     [flat, jnp.stack(sv3)], axis=1
                 ).reshape(-1)
-            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2],
+                                                noise=True)
             return jnp.stack([ox, oy, oz]).reshape(-1)
 
         out, res = lanczos_sqrt_apply(
@@ -587,6 +621,27 @@ class PSEGrid:
             if S:
                 gs = g[:, T:]
                 ox, oy, oz, sv3 = self.near_matvec_slots(
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2]),
+                    noise=True,
+                )
+                flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
+                return jnp.concatenate(
+                    [flat, jnp.stack(sv3)], axis=1
+                ).reshape(-1)
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2],
+                                                noise=True)
+            return jnp.stack([ox, oy, oz]).reshape(-1)
+
+        # peel w0 with the FULL-degree radial so the unfused path runs
+        # the exact operator sequence of the fused path (w0 at deg,
+        # remaining matvecs at noise_deg) — the VMEM fallback and the
+        # fused pass stay numerically identical by construction
+        def mv_full(v):
+            g = v.reshape((3, -1))
+            gg = g[:, :T].reshape((3,) + shape)
+            if S:
+                gs = g[:, T:]
+                ox, oy, oz, sv3 = self.near_matvec_slots(
                     cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
                 )
                 flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
@@ -596,8 +651,9 @@ class PSEGrid:
             ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
             return jnp.stack([ox, oy, oz]).reshape(-1)
 
+        zf = z.reshape(-1)
         out, res = lanczos_sqrt_apply(
-            mv, z.reshape(-1), m=self.lanczos_iterations
+            mv, zf, m=self.lanczos_iterations, w0=mv_full(zf)
         )
         o = out.reshape((3, -1))
         og = o[:, :T].reshape((3,) + shape)
@@ -642,13 +698,15 @@ class PSEGrid:
             if S:
                 gs = g[:, T:]
                 ox, oy, oz, sv3 = self.near_matvec_slots(
-                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2])
+                    cg, gg[0], gg[1], gg[2], (gs[0], gs[1], gs[2]),
+                    noise=True,
                 )
                 flat = jnp.stack([ox, oy, oz]).reshape(3, -1)
                 return jnp.concatenate(
                     [flat, jnp.stack(sv3)], axis=1
                 ).reshape(-1)
-            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2])
+            ox, oy, oz = self.near_matvec_slots(cg, gg[0], gg[1], gg[2],
+                                                noise=True)
             return jnp.stack([ox, oy, oz]).reshape(-1)
 
         alphas, betas = jax.jit(
